@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI demo/smoke driver for the engine: generates a deterministic
+  * change-event log, replays it through the CDC merge into an IceLite
+  * transcripts table in batches, then answers a point query with bucket
+  * pruning and prints the commit lineage.
+  *
+  * Usage: runMain graft.Demo [numEvents] [numBatches]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val numEvents = args.headOption.map(_.toLong).getOrElse(50000L)
+    val numBatches = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.gen.ChangeLogGen
+    import graft.operators.{CdcApply, MergeEngine}
+    import graft.table.IceLite
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val cfg = ChangeLogGen.GenConfig(numEvents = numEvents, numConvs = 500, maxTurns = 40)
+    val log = ChangeLogGen.events(spark, cfg)
+
+    val schema = log.schema("after").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val table = IceLite.create(s"$dir/transcripts", schema, numBuckets = 16)
+
+    val batchSize = (numEvents + numBatches - 1) / numBatches
+    val t0 = System.nanoTime()
+    (0 until numBatches).foreach { b =>
+      val batch = log.filter(col("offset") >= b * batchSize && col("offset") < (b + 1) * batchSize)
+      val res = CdcApply.applyBatch(spark, table, batch, epoch = Some(("demo", b.toLong)))
+      println(s"[demo] epoch $b: applied=${res.eventsSeen} rowsWritten=${res.rowsWritten} " +
+        s"bucketsRewritten=${res.snapshot.metrics.getOrElse("bucketsRewritten", 0L)} snapshotV=${res.snapshot.version}")
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val state = table.read(spark)
+    val n = state.count()
+    println(f"[demo] replayed $numEvents events in $secs%.1fs (${numEvents / secs}%.0f ev/s) -> $n latest-state rows")
+
+    // idempotent re-delivery of the last epoch
+    val redo = CdcApply.applyBatch(spark, table,
+      log.filter(col("offset") >= (numBatches - 1) * batchSize),
+      epoch = Some(("demo", (numBatches - 1).toLong)))
+    println(s"[demo] re-delivered epoch ${numBatches - 1}: skipped=${redo.skipped}")
+
+    // point query with bucket pruning
+    val conv = state.select("conv_id").orderBy("conv_id").limit(1).collect()(0).getString(0)
+    val bucket = spark.range(1)
+      .select(MergeEngine.bucketOf(lit(conv), table.numBuckets)).collect()(0).getInt(0)
+    val pruned = table.read(spark, Some(Set(bucket))).filter(col("conv_id") === conv)
+    println(s"[demo] point query conv=$conv bucket=$bucket -> ${pruned.count()} turns " +
+      s"(scanned ${table.dataFiles(Some(Set(bucket))).size} of ${table.dataFiles().size} files)")
+    pruned.orderBy("turn_idx").show(5, truncate = 60)
+
+    println(s"[demo] snapshot properties: ${table.current.properties.toSeq.sortBy(_._1).mkString(", ")}")
+    spark.stop()
+  }
+}

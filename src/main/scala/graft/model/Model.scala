@@ -1,0 +1,93 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core data model for the CDC / event-store engine.
+  *
+  * Mirrors the semantics (NOT the code) of the reference connector's
+  * SinkRecord envelope (`/root/reference/src/main/java/io/confluent/connect/jdbc/sink/JdbcSinkTask.java:71-83`)
+  * and its tombstone convention (`.../sink/BufferedRecords.java:93-100`):
+  * a null value with a non-null key is a delete; otherwise the configured
+  * insert mode decides insert/upsert/update.
+  *
+  * The target row shape is fixed by BASELINE.json `input_hint`:
+  * transcripts(conv_id string, turn_idx int, role string, text string,
+  * tool string, ts timestamp).
+  */
+
+/** One row of the target transcripts table. */
+final case class TranscriptTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String, // nullable; also the schema-drift column (absent in v1 events)
+    ts: Timestamp)
+
+/** Event key. `turn_idx == null` on a tombstone means a SERIES delete:
+  * all turns of the conversation (reference README.md:126-137 — delete
+  * keys may be coarser than upsert keys).
+  */
+final case class TurnKey(conv_id: String, turn_idx: Option[Int])
+
+/** A change event as it appears in the (Kafka stand-in) change log.
+  *
+  * - `partition`/`offset` are the log coordinates: offset is strictly
+  *   increasing per partition and the replay-order authority (events are
+  *   keyed by conv_id onto partitions, so per-key order holds within a
+  *   partition — the Connect delivery contract).
+  * - `op` ∈ insert | update | upsert | delete.
+  * - `after == null` iff `op == delete` (tombstone).
+  * - `schemaV` marks logical schema version (1 = no `tool` column).
+  */
+final case class ChangeEvent(
+    partition: Int,
+    offset: Long,
+    ts: Timestamp,
+    op: String,
+    conv_id: String,
+    turn_idx: Option[Int], // None only for series-delete tombstones
+    after: Option[TranscriptTurn],
+    schemaV: Int)
+
+object Op {
+  val Insert = "insert"
+  val Update = "update"
+  val Upsert = "upsert"
+  val Delete = "delete"
+  val all: Set[String] = Set(Insert, Update, Upsert, Delete)
+}
+
+/** Write-mode analogue of the reference's `insert.mode`
+  * (`.../sink/JdbcSinkConfig.java:32-37`). In the engine the mode is
+  * carried per-event in `op`, so `MergeSpec` only fixes the keys.
+  *
+  * @param upsertKeys key columns for insert/upsert/update matching
+  *                   (reference `upsert.keys`; here (conv_id, turn_idx))
+  * @param deleteKeys key columns for tombstone deletes — may be coarser
+  *                   (reference `delete.keys`; here (conv_id) enables
+  *                   series deletion)
+  * @param numBuckets physical hash-bucket count of the table layout
+  *                   (reference `partitions`, default 10,
+  *                   `.../sink/JdbcSinkConfig.java:295-299`)
+  */
+final case class MergeSpec(
+    upsertKeys: Seq[String] = Seq("conv_id", "turn_idx"),
+    deleteKeys: Seq[String] = Seq("conv_id"),
+    numBuckets: Int = 32)
+
+/** Per-turn net action produced by the in-batch fold (SURVEY.md §2.A
+  * A5/A6): the single effect this batch has on one (conv_id, turn_idx)
+  * key, replacing the reference's buffer/flush-ordering machinery
+  * (`.../sink/BufferedRecords.java:84-234`) with an order-equivalent
+  * declarative form.
+  */
+object NetAction {
+  /** unconditional write (insert/upsert, or update on a row the batch itself created) */
+  val Put = "put"
+  /** unconditional delete */
+  val Del = "del"
+  /** update only if the key exists in the base table (reference UPDATE
+    * mode: unmatched rows are dropped, `.../dialect/GenericDatabaseDialect.java:998-1019`) */
+  val UpdateIfExists = "upd"
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, LongType, IntegerType}
+
+import graft.model.MergeSpec
+import graft.table.{IceLite, IceLiteTable, SchemaEvolution}
+
+/** Applies one batch (micro-batch or whole-log replay) of change events to
+  * an IceLite transcripts table: validate → evolve schema → per-key fold →
+  * bucket-pruned copy-on-write merge → atomic snapshot commit.
+  *
+  * This is the engine's equivalent of the reference's
+  * `JdbcDbWriter.write(records)` + per-put JDBC transaction
+  * (`/root/reference/src/main/java/io/confluent/connect/jdbc/sink/JdbcDbWriter.java:60-84`),
+  * with exactly-once obtained from idempotent epoch commits instead of
+  * at-least-once + DB transactions: the snapshot property
+  * `epoch:<streamId>` records the last applied batch id; a re-delivered
+  * epoch is a no-op (`AlreadyApplied`).
+  */
+object CdcApply {
+
+  final case class BatchResult(
+      snapshot: IceLite.Snapshot,
+      skipped: Boolean,
+      rowsWritten: Long,
+      eventsSeen: Long,
+      rejected: Long)
+
+  private final case class AlreadyApplied(epoch: Long) extends Exception(s"epoch $epoch already applied")
+
+  /** Write options applied to every data file: zstd + a bloom filter on
+    * conv_id (reference analogue: PG bloom index,
+    * `.../dialect/PostgreSqlDatabaseDialect.java:263-294`) with files
+    * sorted by (conv_id, turn_idx) so parquet min/max row-group stats are
+    * selective (reference analogue: zonemaps/BRIN,
+    * `.../dialect/OracleDatabaseDialect.java:296-310`).
+    */
+  private val writeOptions: Map[String, String] = Map(
+    "compression" -> "zstd",
+    "parquet.bloom.filter.enabled#conv_id" -> "true")
+
+  /** Apply `events` (envelope columns: partition, offset, ts, op, conv_id,
+    * turn_idx, after, schema_v) to the table.
+    *
+    * @param epoch   (streamId, batchId) for exactly-once; None = ad-hoc batch
+    * @param rejectedDir  where quarantined invalid records go (with _error
+    *                     + lineage), the errant-record-reporter analogue
+    */
+  def applyBatch(
+      spark: SparkSession,
+      table: IceLiteTable,
+      events: DataFrame,
+      spec: MergeSpec = MergeSpec(),
+      epoch: Option[(String, Long)] = None,
+      rejectedDir: Option[String] = None): BatchResult = {
+
+    val snap0 = table.current
+    // Fast idempotence check (re-checked inside the commit CAS).
+    epoch.foreach { case (sid, bid) =>
+      if (lastEpoch(snap0, sid).exists(_ >= bid))
+        return BatchResult(snap0, skipped = true, 0L, 0L, 0L)
+    }
+
+    val vb = MergeEngine.validate(events)
+    rejectedDir.foreach { d =>
+      vb.rejected
+        .withColumn("_rejected_at_epoch", lit(epoch.map(_._2).getOrElse(-1L)))
+        .write.mode("append").parquet(d)
+    }
+
+    // --- schema evolution (ALTER-ADD semantics, SchemaEvolution rules) ---
+    val tableSchema0 = org.apache.spark.sql.types.DataType.fromJson(snap0.schemaJson).asInstanceOf[StructType]
+    val incoming = events.schema("after").dataType.asInstanceOf[StructType]
+    val evolved = SchemaEvolution.merge(tableSchema0, incoming) match {
+      case Right(s) => s
+      case Left(reason) => throw new IllegalArgumentException(s"schema rejected: $reason")
+    }
+
+    // --- per-key fold ---
+    val valid = vb.valid
+    val wipes = MergeEngine.seriesWipes(valid)
+    val actions = MergeEngine.netActions(valid)
+
+    // Normalize action rows to the (possibly evolved) table schema:
+    // missing columns → null, narrower types → up-cast.
+    val rowFields = actions.schema("row").dataType.asInstanceOf[StructType].fieldNames.toSet
+    val normRow = struct(evolved.fields.toSeq.map { f =>
+      (if (rowFields.contains(f.name)) col(s"row.${f.name}").cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+    val normActions = actions.withColumn("row", normRow)
+
+    // --- affected buckets (tiny driver-side set → bucket pruning) ---
+    val touched = normActions.select("conv_id").union(wipes.select("conv_id"))
+      .select(MergeEngine.bucketOf(col("conv_id"), table.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    // --- lineage + volume + rejection metrics over the batch (one job).
+    // Offsets advance past errant records: they are quarantined, not
+    // retried (errant-record-reporter contract,
+    // `.../sink/JdbcSinkTaskTest.java:324-492`).
+    val lineage = MergeEngine.tagErrors(events).groupBy("partition")
+      .agg(
+        max("offset").as("max_off"),
+        count(lit(1)).as("n"),
+        sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"))
+      .collect()
+    val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
+    val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
+
+    if (touched.isEmpty) {
+      // Nothing to merge (e.g. all events invalid) — still commit the
+      // epoch marker so re-delivery stays a no-op.
+      val snap = commitSnapshot(table, Map.empty, touched, evolved, epoch, lineage, 0L, eventsSeen, rejectedCount)
+      return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
+    }
+
+    // --- copy-on-write merge of affected buckets ---
+    val base = {
+      val files = table.dataFiles(Some(touched))
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
+      else spark.read.schema(evolved).parquet(files: _*)
+    }
+    val merged = MergeEngine.merge(base, normActions, wipes)
+
+    val stage = table.newStageDir()
+    merged
+      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+      .repartition(math.min(table.numBuckets, math.max(1, touched.size)), col("bucket"))
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite").options(writeOptions)
+      .partitionBy("bucket")
+      .parquet(stage.toString)
+
+    val staged = table.stagedFilesByBucket(stage)
+    // parquet footer-only count — no data read
+    val rowsWritten =
+      if (staged.isEmpty) 0L
+      else spark.read.schema(evolved)
+        .parquet(staged.values.flatten.map(r => s"${table.dir}/$r").toSeq: _*).count()
+
+    val snap = commitSnapshot(table, staged, touched, evolved, epoch, lineage, rowsWritten, eventsSeen, rejectedCount)
+    BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
+  }
+
+  private def lastEpoch(s: IceLite.Snapshot, streamId: String): Option[Long] =
+    s.properties.get(s"epoch:$streamId").map(_.toLong)
+
+  private def commitSnapshot(
+      table: IceLiteTable,
+      staged: Map[Int, Seq[String]],
+      touched: Set[Int],
+      evolved: StructType,
+      epoch: Option[(String, Long)],
+      lineage: Array[org.apache.spark.sql.Row],
+      rowsWritten: Long,
+      eventsSeen: Long,
+      rejected: Long): IceLite.Snapshot =
+    try {
+      table.commit { parent =>
+        epoch.foreach { case (sid, bid) =>
+          if (lastEpoch(parent, sid).exists(_ >= bid)) throw AlreadyApplied(bid)
+        }
+        val newFiles = (parent.files -- touched.toSeq) ++
+          staged ++
+          // a touched bucket whose merge produced no rows becomes empty
+          (touched -- staged.keySet).map(_ -> Seq.empty[String]).toMap
+        val offsetProps = lineage.map { r =>
+          val p = r.getAs[Int]("partition")
+          val prev = parent.properties.get(s"maxoff:$p").map(_.toLong).getOrElse(Long.MinValue)
+          s"maxoff:$p" -> math.max(prev, r.getAs[Long]("max_off")).toString
+        }.toMap
+        val epochProps = epoch.map { case (sid, bid) => s"epoch:$sid" -> bid.toString }.toMap
+        parent.copy(
+          schemaJson = evolved.json,
+          files = newFiles.filter(_._2.nonEmpty),
+          properties = parent.properties ++ offsetProps ++ epochProps,
+          metrics = Map(
+            "rowsWritten" -> rowsWritten,
+            "bucketsRewritten" -> touched.size.toLong,
+            "eventsApplied" -> eventsSeen,
+            "rejected" -> rejected))
+      }
+    } catch {
+      case AlreadyApplied(_) => table.current
+    }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.NetAction
+
+/** The CDC merge engine: turns a micro-batch of change events into the
+  * minimal set of per-key net effects, then rewrites only the affected
+  * hash buckets of the base table (copy-on-write MERGE).
+  *
+  * Semantics reproduced from the reference connector (SURVEY.md §2.A):
+  *  - per-key sequential application in offset order
+  *    (`/root/reference/src/main/java/io/confluent/connect/jdbc/sink/BufferedRecords.java:84-234`
+  *    — its buffer/flush gymnastics exist only because it executes
+  *    unordered SQL batches; the net effect is a per-key ordered fold),
+  *  - UPSERT = delete+insert keyed by (conv_id, turn_idx)
+  *    (`.../sink/BufferedRecords.java:294-324`, README.md:139-150),
+  *  - UPDATE affects only existing rows; unmatched updates are dropped
+  *    (`.../dialect/GenericDatabaseDialect.java:998-1019`,
+  *     `.../sink/JdbcDbWriterTest.java:2189-2413`),
+  *  - tombstone DELETE keyed by the (possibly coarser) delete key:
+  *    turn_idx == null ⇒ series delete of the whole conversation
+  *    (README.md:126-137).
+  *
+  * Scale design: the fold is ONE hash aggregation on (conv_id, turn_idx)
+  * built from conditional `max_by`s — whole-stage-codegen'd, with
+  * map-side partial aggregation, so a hot conversation (Zipf skew) is
+  * spread over its turns and a hot turn collapses map-side before the
+  * shuffle. No per-group buffering or sorting anywhere. This is what
+  * replaces the reference's in-memory buffer at 10^10-event scale.
+  *
+  * Order authority: `offset` (strictly increasing per log partition;
+  * a conversation is keyed to one partition, so per-key offsets are
+  * totally ordered — the Connect delivery contract). Duplicate delivery
+  * of the same offset is naturally idempotent: `max_by` picks one of two
+  * identical rows.
+  */
+object MergeEngine {
+
+  /** Physical bucket of a conversation — must match the IceLite layout
+    * (reference analogue: hash partitioning DDL, `distributionattributes`,
+    * `.../dialect/PostgreSqlDatabaseDialect.java:208-232`).
+    */
+  def bucketOf(convId: Column, numBuckets: Int): Column =
+    pmod(xxhash64(convId), lit(numBuckets.toLong)).cast("int")
+
+  /** Columns of the transcript row struct, in table order. */
+  val turnCols: Seq[String] = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  // ---------------------------------------------------------------------
+  // Validation (reference RecordValidator, `.../sink/RecordValidator.java:44-117`
+  // and null-key binder checks `.../sink/PreparedStatementBinder.java:174-196`).
+  // Invalid records are quarantined with an error + lineage, the rest of
+  // the batch proceeds (errant-record-reporter semantics,
+  // `.../sink/JdbcSinkTaskTest.java:324-492`).
+  // ---------------------------------------------------------------------
+  final case class ValidatedBatch(valid: DataFrame, rejected: DataFrame)
+
+  /** Adds a nullable `_error` column (null = valid). */
+  def tagErrors(events: DataFrame): DataFrame = {
+    val err = when(col("conv_id").isNull, "null key")
+      .when(!col("op").isin("insert", "update", "upsert", "delete"), "unknown op")
+      .when(col("op") =!= "delete" && col("after").isNull, "null value for non-tombstone")
+      .when(col("op") =!= "delete" && col("turn_idx").isNull, "null upsert-key field turn_idx")
+      .otherwise(null)
+    events.withColumn("_error", err)
+  }
+
+  def validate(events: DataFrame): ValidatedBatch = {
+    val tagged = tagErrors(events)
+    ValidatedBatch(
+      valid = tagged.filter(col("_error").isNull).drop("_error"),
+      rejected = tagged.filter(col("_error").isNotNull))
+  }
+
+  /** Latest series-delete offset per conversation in this batch.
+    * Only the max matters: a series delete at offset D makes every prior
+    * event of the conversation irrelevant (state is known-Absent at D),
+    * so intermediate wipes are subsumed. Tiny output — broadcastable.
+    */
+  def seriesWipes(events: DataFrame): DataFrame =
+    events
+      .filter(col("op") === "delete" && col("turn_idx").isNull)
+      .groupBy("conv_id")
+      .agg(max("offset").as("wipe_off"))
+
+  /** Per-(conv_id, turn_idx) net action of the batch.
+    *
+    * Derivation (provably order-equivalent to the sequential per-key fold,
+    * pinned by ReplayEquivalenceSpec): after discarding events at or
+    * before the conversation's last series wipe D,
+    *  - the ANCHOR is the turn's last non-update event (insert/upsert/
+    *    delete). It fully determines existence: a later update only
+    *    changes values, never existence;
+    *  - anchor = delete            ⇒ Del (updates after a delete drop);
+    *  - anchor = insert/upsert     ⇒ Put(last update after anchor, else anchor row);
+    *  - no anchor, no wipe         ⇒ UpdateIfExists(last update) — existence
+    *    is decided by the base table at merge time;
+    *  - no anchor, wiped           ⇒ Del (state was known-Absent).
+    *
+    * Output: (conv_id, turn_idx, action, row struct) — one row per touched key.
+    */
+  def netActions(events: DataFrame): DataFrame = {
+    val wipes = seriesWipes(events)
+    val turnEvents = events
+      .filter(col("turn_idx").isNotNull)
+      .join(broadcast(wipes), Seq("conv_id"), "left")
+      .filter(col("offset") > coalesce(col("wipe_off"), lit(Long.MinValue)))
+
+    val isUpd = col("op") === "update"
+    val anchorOff = when(!isUpd, col("offset"))
+    val updOff = when(isUpd, col("offset"))
+
+    turnEvents
+      .groupBy("conv_id", "turn_idx")
+      .agg(
+        max(anchorOff).as("a_off"),
+        max_by(struct(col("op").as("op"), col("after").as("after")), anchorOff).as("anchor"),
+        max(updOff).as("u_off"),
+        max_by(col("after"), updOff).as("last_upd"),
+        max(col("wipe_off")).as("wipe_off"))
+      .select(
+        col("conv_id"),
+        col("turn_idx"),
+        when(col("a_off").isNull && col("wipe_off").isNull, NetAction.UpdateIfExists)
+          .when(col("a_off").isNull, NetAction.Del)
+          .when(col("anchor.op") === "delete", NetAction.Del)
+          .otherwise(NetAction.Put)
+          .as("action"),
+        when(col("a_off").isNull, col("last_upd"))
+          .when(col("anchor.op") === "delete", lit(null))
+          .when(col("u_off") > col("a_off"), col("last_upd"))
+          .otherwise(col("anchor.after"))
+          .as("row"))
+  }
+
+  /** Copy-on-write merge of net actions (+ series wipes) into the base
+    * rows of the affected buckets. `base` must already be pruned to the
+    * affected buckets (IceLite does this); output is the complete new
+    * content of those buckets.
+    *
+    * Join shape: full-outer on the upsert key (both sides shuffled on the
+    * same key — AQE handles residual skew), wipes broadcast (tiny).
+    */
+  def merge(base: DataFrame, actions: DataFrame, wipes: DataFrame): DataFrame = {
+    val key = Seq("conv_id", "turn_idx")
+    val cols = base.columns.toSeq
+    val a = actions
+      .withColumnRenamed("row", "_row")
+      .withColumn("_has_action", lit(true))
+    val w = broadcast(wipes.select(col("conv_id"), lit(true).as("_wiped")))
+
+    val rowCol = (name: String) =>
+      if (key.contains(name)) col(name) else col(s"_row.$name")
+
+    base
+      .withColumn("_in_base", lit(true))
+      .join(a, key, "full_outer")
+      .join(w, Seq("conv_id"), "left")
+      .withColumn(
+        "_keep",
+        when(col("action") === NetAction.Put, lit(true))
+          .when(col("action") === NetAction.Del, lit(false))
+          .when(col("action") === NetAction.UpdateIfExists, coalesce(col("_in_base"), lit(false)))
+          // no action: base row survives unless its conversation was wiped
+          .otherwise(coalesce(col("_in_base"), lit(false)) && col("_wiped").isNull))
+      .withColumn(
+        "_use_new",
+        col("action") === NetAction.Put || col("action") === NetAction.UpdateIfExists)
+      .filter(col("_keep"))
+      .select(cols.map { c =>
+        when(col("_use_new"), rowCol(c)).otherwise(col(c)).as(c)
+      }: _*)
+  }
+}

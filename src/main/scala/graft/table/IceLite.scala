@@ -1,0 +1,222 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** "IceLite" — a minimal Iceberg-style table format built from scratch for
+  * this engine (no Iceberg jar exists in the sandbox): immutable parquet
+  * data files + a JSON snapshot log with an atomic put-if-absent commit.
+  *
+  * Layout:
+  * {{{
+  *   <dir>/snap/v0000000001.json     // one immutable snapshot per commit
+  *   <dir>/data/<commitUuid>/b=<bucket>/part-*.parquet
+  * }}}
+  *
+  * Commit protocol (the analogue of the reference's one-JDBC-transaction-
+  * per-put batch, `/root/reference/src/main/java/io/confluent/connect/jdbc/sink/JdbcDbWriter.java:56,83`):
+  * data files are staged first (invisible — snapshots reference files
+  * explicitly, never by directory listing), then the next snapshot file is
+  * published with an atomic create-if-absent move. Losing a race throws;
+  * the caller re-reads and retries. A crash between staging and publish
+  * leaves only unreferenced orphan files. Snapshot `properties` carry the
+  * free-form commit bookkeeping — `(epoch, offsetRange)` for exactly-once
+  * streaming — mirroring Iceberg snapshot summaries.
+  *
+  * Data is hash-bucketed by conv_id (`bucket = pmod(xxhash64(conv_id), P)`,
+  * reference analogue: `PARTITION BY HASH` DDL,
+  * `.../dialect/PostgreSqlDatabaseDialect.java:208-232`), so a CDC merge
+  * rewrites only affected buckets and point/range queries prune by bucket.
+  */
+final class IceLiteTable(val dir: String) {
+  import IceLite._
+
+  private val snapDir = Paths.get(dir, "snap")
+  private val dataDir = Paths.get(dir, "data")
+
+  def currentVersion: Long =
+    listSnapshotVersions.lastOption.getOrElse(0L)
+
+  private def listSnapshotVersions: Seq[Long] =
+    if (!Files.isDirectory(snapDir)) Seq.empty
+    else
+      Files.list(snapDir).iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+        .toSeq.sorted
+
+  def snapshot(version: Long): Snapshot =
+    readSnapshot(snapDir.resolve(f"v$version%010d.json"))
+
+  def current: Snapshot = snapshot(currentVersion)
+
+  def schema: StructType =
+    org.apache.spark.sql.types.DataType.fromJson(current.schemaJson).asInstanceOf[StructType]
+
+  def numBuckets: Int = current.numBuckets
+
+  /** All data files (absolute paths) of the current snapshot, optionally
+    * restricted to a bucket subset — this is the bucket-pruning path.
+    */
+  def dataFiles(buckets: Option[Set[Int]] = None): Seq[String] = {
+    val s = current
+    s.files.toSeq
+      .filter { case (b, _) => buckets.forall(_.contains(b)) }
+      .flatMap(_._2)
+      .map(rel => Paths.get(dir).resolve(rel).toString)
+  }
+
+  /** Read the table (or a bucket subset) with the current table schema —
+    * older files missing later-added columns surface them as nulls
+    * (ALTER-ADD semantics for free from the parquet reader).
+    */
+  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+    val files = dataFiles(buckets)
+    val sch = schema
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    else spark.read.schema(sch).parquet(files: _*)
+  }
+
+  /** Fresh unique staging directory for one commit's data files. */
+  def newStageDir(): Path = {
+    val p = dataDir.resolve(UUID.randomUUID().toString)
+    Files.createDirectories(p)
+    p
+  }
+
+  /** Collect staged parquet files per bucket (written with
+    * partitionBy("bucket") as b=N subdirs), as table-relative paths.
+    */
+  def stagedFilesByBucket(stage: Path): Map[Int, Seq[String]] =
+    if (!Files.isDirectory(stage)) Map.empty
+    else
+      Files.list(stage).iterator.asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
+        .map { bdir =>
+          val b = bdir.getFileName.toString.stripPrefix("bucket=").toInt
+          val fs = Files.list(bdir).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => Paths.get(dir).relativize(p).toString)
+            .toSeq.sorted
+          b -> fs
+        }
+        .toMap
+
+  /** CAS commit: build the child snapshot from the freshly-read current
+    * one, publish as version+1 via atomic create-if-absent. Retries on
+    * losing a race (another writer published first).
+    */
+  def commit(build: Snapshot => Snapshot, maxRetries: Int = 5): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val parentV = currentVersion
+      val parent = if (parentV == 0L) null else snapshot(parentV)
+      val base = Option(parent).getOrElse(
+        throw new IllegalStateException(s"table $dir has no snapshots — create() first"))
+      val next = build(base).copy(version = parentV + 1, parentVersion = parentV)
+      val target = snapDir.resolve(f"v${next.version}%010d.json")
+      val tmp = snapDir.resolve(s".tmp-${UUID.randomUUID()}.json")
+      Files.writeString(tmp, toJson(next))
+      try {
+        // link(2) is an atomic put-if-absent: fails iff target exists.
+        // (rename(2)/ATOMIC_MOVE silently replaces on POSIX — not a CAS.)
+        Files.createLink(target, tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(s"commit contention on $dir after $maxRetries retries")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object IceLite {
+
+  /** One immutable snapshot of the table. `files` maps bucket id to
+    * table-relative parquet paths; `properties` is free-form commit
+    * bookkeeping (exactly-once epochs, applied offset ranges);
+    * `metrics` are per-commit counters (rows written/deleted, buckets
+    * rewritten) — the engine's lineage/metrics surface.
+    */
+  final case class Snapshot(
+      version: Long,
+      parentVersion: Long,
+      schemaJson: String,
+      numBuckets: Int,
+      files: Map[Int, Seq[String]],
+      properties: Map[String, String],
+      metrics: Map[String, Long])
+
+  private val mapper = new ObjectMapper()
+
+  def toJson(s: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    root.put("parentVersion", s.parentVersion)
+    root.put("schemaJson", s.schemaJson)
+    root.put("numBuckets", s.numBuckets)
+    val files = root.putObject("files")
+    s.files.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      val arr = files.putArray(b.toString)
+      fs.foreach(arr.add)
+    }
+    val props = root.putObject("properties")
+    s.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    val mets = root.putObject("metrics")
+    s.metrics.toSeq.sortBy(_._1).foreach { case (k, v) => mets.put(k, v) }
+    root.toPrettyString
+  }
+
+  def readSnapshot(path: Path): Snapshot = {
+    val root = mapper.readTree(Files.readString(path))
+    def objFields(name: String): Iterator[(String, com.fasterxml.jackson.databind.JsonNode)] = {
+      val n = root.get(name).asInstanceOf[ObjectNode]
+      n.fields().asScala.map(e => e.getKey -> e.getValue)
+    }
+    Snapshot(
+      version = root.get("version").asLong(),
+      parentVersion = root.get("parentVersion").asLong(),
+      schemaJson = root.get("schemaJson").asText(),
+      numBuckets = root.get("numBuckets").asInt(),
+      files = objFields("files").map { case (k, v) =>
+        k.toInt -> v.elements().asScala.map(_.asText()).toSeq
+      }.toMap,
+      properties = objFields("properties").map { case (k, v) => k -> v.asText() }.toMap,
+      metrics = objFields("metrics").map { case (k, v) => k -> v.asLong() }.toMap)
+  }
+
+  /** Create an empty table (snapshot v1, no files). */
+  def create(dir: String, schema: StructType, numBuckets: Int): IceLiteTable = {
+    val snapDir = Paths.get(dir, "snap")
+    Files.createDirectories(snapDir)
+    Files.createDirectories(Paths.get(dir, "data"))
+    val s = Snapshot(1L, 0L, schema.json, numBuckets, Map.empty, Map.empty, Map.empty)
+    val target = snapDir.resolve(f"v${1L}%010d.json")
+    val tmp = snapDir.resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, toJson(s))
+    Files.createLink(target, tmp)
+    Files.deleteIfExists(tmp)
+    new IceLiteTable(dir)
+  }
+
+  def load(dir: String): IceLiteTable = {
+    val t = new IceLiteTable(dir)
+    require(t.currentVersion > 0, s"no IceLite table at $dir")
+    t
+  }
+
+  def exists(dir: String): Boolean =
+    Files.isDirectory(Paths.get(dir, "snap")) && new IceLiteTable(dir).currentVersion > 0
+}
