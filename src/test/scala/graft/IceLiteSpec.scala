@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CdcApply, MergeEngine}
+import graft.table.IceLite
+
+class IceLiteSpec extends SparkSuite {
+  import TestHelpers._
+
+  test("create/load/read empty table") {
+    val dir = tmpDir("icelite") + "/t"
+    val t = IceLite.create(dir, turnSchema, 8)
+    assert(t.currentVersion == 1L)
+    assert(t.read(spark).count() == 0)
+    assert(IceLite.load(dir).schema == turnSchema)
+  }
+
+  test("commit CAS: losing writer retries on fresh parent, properties merge") {
+    val dir = tmpDir("icelite-cas") + "/t"
+    val t = IceLite.create(dir, turnSchema, 8)
+    // two commits built from the same parent — second must land on v3 with
+    // the first's property still present
+    t.commit(p => p.copy(properties = p.properties + ("a" -> "1")))
+    t.commit(p => p.copy(properties = p.properties + ("b" -> "2")))
+    val cur = t.current
+    assert(cur.version == 3L)
+    assert(cur.properties == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("commit CAS: concurrent writers never lose an update") {
+    val dir = tmpDir("icelite-race") + "/t"
+    val t = IceLite.create(dir, turnSchema, 8)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        (1 to 5).foreach { j =>
+          new IceLiteTableRetry(dir).commitWithRetry(s"w$i-$j")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val props = t.current.properties
+    assert(props.size == 20, s"lost updates: ${props.size}/20")
+    assert(t.currentVersion == 21L)
+  }
+
+  test("snapshot json roundtrip") {
+    val s = IceLite.Snapshot(7, 6, turnSchema.json, 16,
+      Map(0 -> Seq("data/x/bucket=0/p1.parquet"), 3 -> Seq("a", "b")),
+      Map("epoch:q" -> "5", "maxoff:0" -> "999"),
+      Map("rowsWritten" -> 42L))
+    val back = {
+      val p = Files.createTempFile("snap", ".json")
+      Files.writeString(p, IceLite.toJson(s))
+      IceLite.readSnapshot(p)
+    }
+    assert(back == s)
+  }
+
+  test("schema evolution e2e: v1 files (no tool) readable after v2 batch adds tool") {
+    import org.apache.spark.sql.types._
+    val v1Schema = StructType(turnSchema.fields.filterNot(_.name == "tool"))
+    val dir = tmpDir("icelite-evolve") + "/t"
+    val t = IceLite.create(dir, v1Schema, 4)
+
+    // batch 1: events whose after-struct has NO tool column
+    val b1 = eventsDF(spark, Seq(ins(0, "c1", 0, "v1-row")))
+      .withColumn("after", struct(
+        col("after.conv_id"), col("after.turn_idx"), col("after.role"),
+        col("after.text"), col("after.ts")))
+    CdcApply.applyBatch(spark, t, b1)
+    assert(t.schema.fieldNames.toSeq == v1Schema.fieldNames.toSeq)
+
+    // batch 2: v2 events carry tool -> table schema evolves (ALTER ADD)
+    val b2 = eventsDF(spark, Seq(
+      ins(1, "c2", 0, "v2-row").copy(after = Some(turn("c2", 0, "v2-row", 1).copy(tool = "grep")))))
+    CdcApply.applyBatch(spark, t, b2)
+    assert(t.schema.fieldNames.contains("tool"))
+
+    val rows = t.read(spark).orderBy("conv_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("tool") == null) // old file: ALTER-ADD null
+    assert(rows(1).getAs[String]("tool") == "grep")
+  }
+
+  test("non-nullable add is rejected (DbStructure:174-184 semantics)") {
+    import org.apache.spark.sql.types._
+    val v1Schema = StructType(turnSchema.fields.filterNot(_.name == "tool"))
+    val incoming = StructType(v1Schema.fields :+ StructField("strict_col", StringType, nullable = false))
+    val res = graft.table.SchemaEvolution.merge(v1Schema, incoming)
+    assert(res.isLeft && res.swap.toOption.get.contains("strict_col"))
+  }
+
+  test("bucket pruning reads only the target bucket's files") {
+    val dir = tmpDir("icelite-prune") + "/t"
+    val t = IceLite.create(dir, turnSchema, 8)
+    val evs = (0 until 64).map(i => ins(i.toLong, f"c$i%02d", 0, s"row$i"))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, evs))
+    val b = spark.range(1).select(MergeEngine.bucketOf(lit("c07"), 8)).collect()(0).getInt(0)
+    val prunedFiles = t.dataFiles(Some(Set(b)))
+    assert(prunedFiles.size < t.dataFiles().size)
+    val got = t.read(spark, Some(Set(b))).filter(col("conv_id") === "c07").count()
+    assert(got == 1)
+  }
+
+  test("epoch idempotence: re-delivered batch is a no-op, state unchanged") {
+    val dir = tmpDir("icelite-epoch") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val b1 = Seq(ins(0, "c1", 0, "v0"))
+    val b2 = Seq(ups(1, "c1", 0, "v1"))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, b1), epoch = Some(("q", 0L)))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, b2), epoch = Some(("q", 1L)))
+    val v = t.currentVersion
+    // re-deliver both epochs
+    val r1 = CdcApply.applyBatch(spark, t, eventsDF(spark, b1), epoch = Some(("q", 0L)))
+    val r2 = CdcApply.applyBatch(spark, t, eventsDF(spark, b2), epoch = Some(("q", 1L)))
+    assert(r1.skipped && r2.skipped)
+    assert(t.currentVersion == v)
+    assert(readTable(spark, t).map(_.text) == Seq("v1"))
+  }
+}
+
+/** Test helper: commit with CAS-retry loop (IceLiteTable.commit throws on
+  * contention after maxRetries; real writers catch and retry with backoff
+  * — modeled here).
+  */
+final class IceLiteTableRetry(dir: String) {
+  def commitWithRetry(key: String): Unit = {
+    val t = new graft.table.IceLiteTable(dir)
+    var done = false
+    while (!done) {
+      try { t.commit(p => p.copy(properties = p.properties + (key -> "1")), maxRetries = 0); done = true }
+      catch { case _: IllegalStateException => Thread.sleep(1) }
+    }
+  }
+}
