@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Training-data-pipeline operators over the documents/embeddings tables:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force and IVF-style
+  * bucketed ANN), text analysis (language-ID, quality, tokens,
+  * fingerprint), and multimodal decode plumbing.
+  *
+  * Engine/oracle parity tricks: md5 (identical hex in Spark and DuckDB)
+  * is the only shared hash; float vectors are cast to double element-wise
+  * before sequential dot products; thresholds compared in integer
+  * arithmetic where possible.
+  */
+object ContentQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // word k-shingles as a Column (Spark SQL lambda form)
+  private def wordShingles(k: Int): String = {
+    val parts = (0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ' ', ")
+    s"transform(sequence(1, size(ws) - ${k - 1}), i -> concat($parts))"
+  }
+
+  /** Embeddings as double vectors (element order preserved). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  private val dotExpr = "aggregate(zip_with(pv, v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+  private def normExpr(c: String) = s"sqrt(aggregate(transform($c, x -> x * x), 0d, (acc, x) -> acc + x))"
+
+  private def cosineJoin(probes: DataFrame, cands: DataFrame): DataFrame =
+    probes.crossJoin(cands)
+      .filter(col("vec_id") =!= col("pid"))
+      .withColumn("cos", expr(s"$dotExpr / (${normExpr("pv")} * ${normExpr("v")})"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ===================== deduplication =====================
+    "q18_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("sig"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+    }),
+
+    "q19_dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(wordShingles(3))).as("sh"))
+      val bands = (0 until 4).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"b$j"))
+      val sig = sh.groupBy("doc_id").agg(bands.head, bands.tail: _*)
+      (0 until 4).map { j =>
+        sig.as("a").join(sig.as("b"),
+          col(s"a.b$j") === col(s"b.b$j") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      }.reduce(_ union _).distinct()
+    }),
+
+    "q20_dedup_simhash" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+      val bitSums = (0 until 16).map(i =>
+        sum(when(pmod(shiftright(col("h"), i), lit(2)) === 1, 1).otherwise(-1)).as(s"s$i"))
+      val sums = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      sums.select(
+        col("doc_id"),
+        (0 until 16).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    }),
+
+    "q21_dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), floor(col("n_chars") / lit(64)).as("blk"),
+        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))").as("g"))
+      d.as("x").join(d.as("y"),
+          col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+          size(array_intersect(col("x.g"), col("y.g"))).as("inter"),
+          size(col("x.g")).as("na"), size(col("y.g")).as("nb"))
+        .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 3)
+    }),
+
+    // ===================== text analysis =====================
+    "q22_text_langid" -> ((s, dir) => {
+      def occ(w: String): Column =
+        ((length(concat(lit(" "), col("text"), lit(" "))) -
+          length(expr(s"replace(concat(' ', text, ' '), ' $w ', '')"))) / lit(w.length + 2)).cast("int")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        occ("the").as("c_en"),
+        (occ("table") + occ("scan") + occ("merge")).as("c_db"),
+        (occ("query") + occ("filter") + occ("join")).as("c_q"))
+        .withColumn("guess",
+          when(col("c_en") >= col("c_db") && col("c_en") >= col("c_q"), "en")
+            .when(col("c_db") >= col("c_q"), "db").otherwise("q"))
+    }),
+
+    "q23_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+        .withColumn("c_the",
+          ((length(concat(lit(" "), col("text"), lit(" "))) -
+            length(expr("replace(concat(' ', text, ' '), ' the ', '')"))) / lit(5)).cast("int"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_alpha"),
+          expr("(n_alpha * 100) div n_words").as("awl_x100"),
+          expr("(c_the * 1000) div n_words").as("stop_x1000"))
+    }),
+
+    "q24_text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
+        col("n_chars"))
+    }),
+
+    "q25_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(expr(wordShingles(5))).as("sh"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("sh"))).as("fp_min"), max(md5(col("sh"))).as("fp_max"))
+    }),
+
+    // ===================== similarity search =====================
+    "q26_embed_knn" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val probes = v.filter(col("vec_id") < 5).select(col("vec_id").as("pid"), col("v").as("pv"))
+      val scored = cosineJoin(broadcast(probes), v)
+      val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("pid"), col("vec_id").as("neighbor_id"), col("rank"))
+    }),
+
+    "q27_embed_neardup" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val a = v.select(col("label"), col("vec_id").as("pid"), col("v").as("pv"))
+      val b = v.select(col("label"), col("vec_id"), col("v"))
+      a.join(b, Seq("label"))
+        .filter(col("pid") < col("vec_id"))
+        .withColumn("cos", expr(s"$dotExpr / (${normExpr("pv")} * ${normExpr("v")})"))
+        .filter(col("cos") >= 0.35)
+        .select(col("pid").as("ida"), col("vec_id").as("idb"), col("label"))
+    }),
+
+    "q28_ann_ivf" -> ((s, dir) => {
+      val v = vecs(s, dir).withColumn("bkt",
+        (0 until 6).map(i => when(element_at(col("v"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+          .reduce(_ + _))
+      val probes = v.filter(col("vec_id") < 20)
+        .select(col("bkt"), col("vec_id").as("pid"), col("v").as("pv"))
+      val scored = probes.join(v, Seq("bkt"))
+        .filter(col("vec_id") =!= col("pid"))
+        .withColumn("cos", expr(s"$dotExpr / (${normExpr("pv")} * ${normExpr("v")})"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("pid"), col("vec_id").as("neighbor_id"), col("rank"), col("bkt"))
+    }),
+
+    // ===================== multimodal plumbing =====================
+    "q29_mm_decode" -> ((s, dir) => {
+      Multimodal.decode(s, Multimodal.fromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("modality"), col("n_bytes"),
+          col("width"), col("height"), col("frames"))
+    }))
+
+  // ---- programmatically-built oracle fragments ----
+  private val simhashSums = (0 until 16)
+    .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+  private val simhashBits = (0 until 16)
+    .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+  private val lshBands = (0 until 4)
+    .map(j => s"min(md5('$j:' || sh)) AS b$j").mkString(", ")
+  private val lshPairUnion = (0 until 4).map(j =>
+    s"SELECT a.doc_id AS ida, b.doc_id AS idb FROM sig a JOIN sig b ON a.b$j = b.b$j AND a.doc_id < b.doc_id")
+    .mkString("\n UNION\n ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q18_dedup_exact" ->
+      "SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY md5(text)",
+    "q19_dedup_minhash_lsh" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |sig AS (SELECT doc_id, $lshBands FROM sh GROUP BY doc_id)
+         |SELECT DISTINCT ida, idb FROM (
+         | $lshPairUnion)""".stripMargin,
+    "q20_dedup_simhash" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) AS h FROM words),
+         |sums AS (SELECT doc_id, $simhashSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, $simhashBits AS simhash FROM sums""".stripMargin,
+    "q21_dedup_ngram_jaccard" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, n_chars // 64 AS blk,
+        |  list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+        | FROM documents)
+        |SELECT x.doc_id AS ida, y.doc_id AS idb,
+        | len(list_intersect(x.g, y.g)) AS inter, len(x.g) AS na, len(y.g) AS nb
+        |FROM d x JOIN d y ON x.lang = y.lang AND x.blk = y.blk AND x.doc_id < y.doc_id
+        |WHERE len(list_intersect(x.g, y.g)) * 10 >= (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) * 3""".stripMargin,
+    "q22_text_langid" ->
+      """WITH c AS (
+        | SELECT doc_id,
+        |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS c_en,
+        |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' table ', ''))) / 7 AS INT)
+        |   + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' scan ', ''))) / 6 AS INT)
+        |   + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' merge ', ''))) / 7 AS INT) AS c_db,
+        |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' query ', ''))) / 7 AS INT)
+        |   + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' filter ', ''))) / 8 AS INT)
+        |   + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' join ', ''))) / 6 AS INT) AS c_q
+        | FROM documents)
+        |SELECT doc_id, c_en, c_db, c_q,
+        | CASE WHEN c_en >= c_db AND c_en >= c_q THEN 'en'
+        |      WHEN c_db >= c_q THEN 'db' ELSE 'q' END AS guess
+        |FROM c""".stripMargin,
+    "q23_text_quality" ->
+      """WITH b AS (
+        | SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+        |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS c_the
+        | FROM documents)
+        |SELECT doc_id, n_words, n_alpha,
+        | (n_alpha * 100) // n_words AS awl_x100,
+        | (c_the * 1000) // n_words AS stop_x1000
+        |FROM b""".stripMargin,
+    "q24_text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens, n_chars
+        |FROM documents""".stripMargin,
+    "q25_text_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |          for i in range(1, len(ws) - 3)]) AS sh
+        | FROM w WHERE len(ws) >= 5)
+        |SELECT doc_id, min(md5(sh)) AS fp_min, max(md5(sh)) AS fp_max FROM sh GROUP BY doc_id""".stripMargin,
+    "q26_embed_knn" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM v WHERE vec_id < 5),
+        |s AS (SELECT pid, vec_id,
+        |  list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS cos
+        | FROM p, v WHERE vec_id <> pid)
+        |SELECT pid, vec_id AS neighbor_id, rank FROM (
+        | SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
+    "q27_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb, a.label
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin,
+    "q28_ann_ivf" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+        | FROM embeddings),
+        |p AS (SELECT bkt, vec_id AS pid, v AS pv FROM v WHERE vec_id < 20),
+        |s AS (SELECT p.pid, v.vec_id, p.bkt,
+        |  list_dot_product(p.pv, v.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(v.v, v.v))) AS cos
+        | FROM p JOIN v ON p.bkt = v.bkt AND v.vec_id <> p.pid)
+        |SELECT pid, vec_id AS neighbor_id, rank, bkt FROM (
+        | SELECT pid, vec_id, bkt, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
+    "q29_mm_decode" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        | octet_length(encode(text)) AS n_bytes,
+        | 64 + octet_length(encode(text)) % 576 AS width,
+        | 64 + (octet_length(encode(text)) * 7) % 416 AS height,
+        | CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS frames
+        |FROM documents""".stripMargin)
+}
