@@ -1,24 +1,92 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus the engine's headline CDC replay, and prints
+  * ONE JSON line. The cdc replay is the north-star metric
+  * (change-events/sec); scaling evidence across parallelism levels is
+  * produced by graft.ScalingBench (see BENCH/BASELINE.md).
+  */
 object Bench {
+
+  /** RAM-backed scratch base for bench I/O (on a real cluster, store
+    * bandwidth scales with executors; a single local disk does not and
+    * would measure the disk, not the engine).
+    */
+  def tmpBase: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_TMP", "/dev/shm"))
+    if (java.nio.file.Files.isDirectory(p)) p
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  def replay(spark: SparkSession, numEvents: Long, numBatches: Int, buckets: Int, logDir: String): Double = {
+    import graft.gen.ChangeLogGen
+    import graft.operators.CdcApply
+    import graft.table.IceLite
+
+    val cfg = ChangeLogGen.GenConfig(
+      numEvents = numEvents, numConvs = math.max(100, (numEvents / 100).toInt),
+      maxTurns = 50, logPartitions = 32)
+    // stage the log to parquet (not timed — Kafka stand-in)
+    ChangeLogGen.writeLog(spark, cfg, logDir, chunks = numBatches)
+    val log = spark.read.parquet(logDir)
+    val schema = graft.model.Schemas.transcript
+    val dir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-table").toString
+    val table = IceLite.create(s"$dir/t", schema, buckets)
+
+    val t0 = System.nanoTime()
+    (0 until numBatches).foreach { b =>
+      val tb = System.nanoTime()
+      CdcApply.applyBatch(spark, table, log.filter(col("chunk") === b).drop("chunk"),
+        epoch = Some(("bench", b.toLong)))
+      System.err.println(f"[bench] batch $b: ${(System.nanoTime() - tb) / 1e9}%.2fs")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    deleteRecursively(dir) // RAM-backed scratch — free it
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline: CDC replay throughput (2M events, 4 epochs)
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
+    val logDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-log").toString
+    val replaySec = replay(spark, nEvents, numBatches = 4, buckets = 64, logDir = logDir)
+    deleteRecursively(logDir)
+    results("cdc_replay_2m") = replaySec
+    val evps = nEvents / replaySec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents}""")
     spark.stop()
   }
 }

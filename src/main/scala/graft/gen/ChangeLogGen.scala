@@ -119,13 +119,33 @@ object ChangeLogGen {
     */
   def writeLog(spark: SparkSession, cfg: GenConfig, dir: String, chunks: Int = 4): Unit = {
     val chunkSize = math.max(1L, (cfg.numEvents + (cfg.numEvents * cfg.dupFraction).toLong) / chunks + 1)
+    // one file per (chunk, log partition): a batch scan gets logPartitions
+    // parallel tasks — a single file per chunk would serialize the scan
+    // and cap scaling at any core count (a Kafka topic has one stream per
+    // partition for the same reason)
     events(spark, cfg)
       .withColumn("chunk", (col("offset") / chunkSize).cast("int"))
-      .repartition(col("chunk"))
+      .repartition(chunks * cfg.logPartitions, col("chunk"), col("partition"))
       .sortWithinPartitions("partition", "offset")
       .write
       .mode("overwrite")
       .partitionBy("chunk")
       .parquet(dir)
+    // Spark's streaming file source admits files in modification-time
+    // order; stagger mtimes by chunk so streamed delivery respects offset
+    // order (the Kafka per-partition delivery contract this log stands in
+    // for). Batch readers are unaffected.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val base = java.nio.file.Files.getLastModifiedTime(root).toMillis
+    java.nio.file.Files.list(root).iterator.asScala
+      .filter(p => p.getFileName.toString.startsWith("chunk="))
+      .foreach { cdir =>
+        val c = cdir.getFileName.toString.stripPrefix("chunk=").toInt
+        java.nio.file.Files.list(cdir).iterator.asScala.foreach { f =>
+          java.nio.file.Files.setLastModifiedTime(
+            f, java.nio.file.attribute.FileTime.fromMillis(base + c * 10000L))
+        }
+      }
   }
 }

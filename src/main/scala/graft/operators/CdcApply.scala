@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructType, LongType, IntegerType}
@@ -78,10 +80,45 @@ object CdcApply {
       case Left(reason) => throw new IllegalArgumentException(s"schema rejected: $reason")
     }
 
-    // --- per-key fold ---
     val valid = vb.valid
-    val wipes = MergeEngine.seriesWipes(valid)
-    val actions = MergeEngine.netActions(valid)
+
+    // --- ONE planning job over the batch: per-log-partition lineage
+    // (offsets advance past errant records — quarantined, not retried,
+    // `.../sink/JdbcSinkTaskTest.java:324-492`), volume + rejection
+    // counts, the touched-bucket set (every action's conv_id comes from
+    // some batch event, so the batch's distinct buckets are exactly the
+    // affected set — no fold needed for planning), and the series-wipe
+    // pairs (tombstones are rare; collecting them here makes the wipe set
+    // a driver-local relation instead of two broadcast-subquery re-scans
+    // of the batch inside the merge plan).
+    val isWipe = col("op") === "delete" && col("turn_idx").isNull && col("_error").isNull
+    val lineage = MergeEngine.tagErrors(events).groupBy("partition")
+      .agg(
+        max("offset").as("max_off"),
+        count(lit(1)).as("n"),
+        sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"),
+        collect_set(when(col("_error").isNull,
+          MergeEngine.bucketOf(col("conv_id"), table.numBuckets))).as("buckets"),
+        collect_list(when(isWipe, struct(col("conv_id"), col("offset")))).as("wipe_pairs"))
+      .collect()
+    val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
+    val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
+    val touched = lineage.flatMap(_.getAs[scala.collection.Seq[Int]]("buckets")).toSet
+
+    // series wipes: max tombstone offset per conversation (driver-side
+    // reduce of the collected pairs; bounded by tombstone volume per batch)
+    val wipeMap = lineage
+      .flatMap(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("wipe_pairs"))
+      .groupBy(_.getString(0))
+      .map { case (c, rs) => (c, rs.map(_.getLong(1)).max) }
+    val wipes = spark.createDataFrame(
+      wipeMap.toSeq.map { case (c, o) => org.apache.spark.sql.Row(c, o) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
+
+    // --- per-key fold (computed once, consumed lazily by the merge) ---
+    val actions = MergeEngine.netActions(valid, wipes)
 
     // Normalize action rows to the (possibly evolved) table schema:
     // missing columns → null, narrower types → up-cast.
@@ -91,24 +128,6 @@ object CdcApply {
        else lit(null).cast(f.dataType)).as(f.name)
     }: _*)
     val normActions = actions.withColumn("row", normRow)
-
-    // --- affected buckets (tiny driver-side set → bucket pruning) ---
-    val touched = normActions.select("conv_id").union(wipes.select("conv_id"))
-      .select(MergeEngine.bucketOf(col("conv_id"), table.numBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-
-    // --- lineage + volume + rejection metrics over the batch (one job).
-    // Offsets advance past errant records: they are quarantined, not
-    // retried (errant-record-reporter contract,
-    // `.../sink/JdbcSinkTaskTest.java:324-492`).
-    val lineage = MergeEngine.tagErrors(events).groupBy("partition")
-      .agg(
-        max("offset").as("max_off"),
-        count(lit(1)).as("n"),
-        sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"))
-      .collect()
-    val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
-    val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
 
     if (touched.isEmpty) {
       // Nothing to merge (e.g. all events invalid) — still commit the
@@ -136,14 +155,26 @@ object CdcApply {
       .parquet(stage.toString)
 
     val staged = table.stagedFilesByBucket(stage)
-    // parquet footer-only count — no data read
-    val rowsWritten =
-      if (staged.isEmpty) 0L
-      else spark.read.schema(evolved)
-        .parquet(staged.values.flatten.map(r => s"${table.dir}/$r").toSeq: _*).count()
+    // rows-written metric from parquet footers, read driver-side — no
+    // Spark job (the reference's update-count == expected check,
+    // `.../sink/BufferedRecords.java:262-273`, as a commit metric)
+    val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
 
     val snap = commitSnapshot(table, staged, touched, evolved, epoch, lineage, rowsWritten, eventsSeen, rejectedCount)
     BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
+  }
+
+  /** Sum of row counts from parquet footers (driver-side metadata reads). */
+  private def footerRowCount(spark: SparkSession, paths: Iterable[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+      finally r.close()
+    }.sum
   }
 
   private def lastEpoch(s: IceLite.Snapshot, streamId: String): Option[Long] =

@@ -101,8 +101,11 @@ object MergeEngine {
     *
     * Output: (conv_id, turn_idx, action, row struct) — one row per touched key.
     */
-  def netActions(events: DataFrame): DataFrame = {
-    val wipes = seriesWipes(events)
+  def netActions(events: DataFrame): DataFrame =
+    netActions(events, seriesWipes(events))
+
+  /** As above, with a pre-computed (possibly cached) wipe set. */
+  def netActions(events: DataFrame, wipes: DataFrame): DataFrame = {
     val turnEvents = events
       .filter(col("turn_idx").isNotNull)
       .join(broadcast(wipes), Seq("conv_id"), "left")
