@@ -29,14 +29,15 @@ object Bench {
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
-  def replay(spark: SparkSession, numEvents: Long, numBatches: Int, buckets: Int, logDir: String): Double = {
+  def replay(spark: SparkSession, numEvents: Long, numBatches: Int, buckets: Int, logDir: String,
+             spec: graft.model.MergeSpec = null): Double = {
     import graft.gen.ChangeLogGen
     import graft.operators.CdcApply
     import graft.table.IceLite
 
     val cfg = ChangeLogGen.GenConfig(
       numEvents = numEvents, numConvs = math.max(100, (numEvents / 100).toInt),
-      maxTurns = 50, logPartitions = 32)
+      maxTurns = 50, logPartitions = 96)
     // stage the log to parquet (not timed — Kafka stand-in)
     ChangeLogGen.writeLog(spark, cfg, logDir, chunks = numBatches)
     val log = spark.read.parquet(logDir)
@@ -48,6 +49,7 @@ object Bench {
     (0 until numBatches).foreach { b =>
       val tb = System.nanoTime()
       CdcApply.applyBatch(spark, table, log.filter(col("chunk") === b).drop("chunk"),
+        spec = if (spec == null) graft.model.MergeSpec(numBuckets = buckets) else spec,
         epoch = Some(("bench", b.toLong)))
       System.err.println(f"[bench] batch $b: ${(System.nanoTime() - tb) / 1e9}%.2fs")
     }

@@ -63,6 +63,23 @@ object Demo {
     pruned.orderBy("turn_idx").show(5, truncate = 60)
 
     println(s"[demo] snapshot properties: ${table.current.properties.toSeq.sortBy(_._1).mkString(", ")}")
+
+    // streaming with BOTH tables: append-only event log + latest-state view
+    ChangeLogGen.writeLog(spark,
+      ChangeLogGen.GenConfig(numEvents = 5000, numConvs = 50, maxTurns = 10), s"$dir/log", chunks = 2)
+    val sc = graft.streaming.CdcStream.StreamConfig(
+      s"$dir/log", s"$dir/state", s"$dir/ckpt",
+      eventLogTableDir = Some(s"$dir/eventlog"))
+    val stateTable = graft.streaming.CdcStream.runAvailable(spark, sc)
+    val eventLog = graft.table.IceLite.load(s"$dir/eventlog")
+    println(s"[demo] streamed: state=${stateTable.read(spark).count()} rows, " +
+      s"event-log=${eventLog.read(spark).count()} rows (append-only, with _partition/_offset lineage)")
+
+    // maintenance: compaction + snapshot expiry
+    val compacted = eventLog.compact(spark, maxFilesPerBucket = 1)
+    val (snaps, orphans) = stateTable.expireSnapshots(keepLast = 1)
+    println(s"[demo] maintenance: compacted $compacted buckets; expired $snaps snapshots, deleted $orphans orphan files")
+    println(s"[demo] event-log rows after compaction: ${eventLog.read(spark).count()}")
     spark.stop()
   }
 }

@@ -1,77 +1,44 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-import graft.gen.ChangeLogGen
-import graft.operators.MergeEngine
-import graft.table.IceLite
-
-/** Dev-only phase profiler for the CDC replay (not part of the contract). */
+/** Dev-only stage profiler for the CDC replay (not part of the contract).
+  * Usage: PROF_MASTER=local[32] PROF_SHUFFLE=96 runMain graft.ProfileReplay <events>
+  */
 object ProfileReplay {
   def main(args: Array[String]): Unit = {
-    val nEvents = args.headOption.map(_.toLong).getOrElse(500000L)
-    val spark = SparkSession.builder().master(sys.env.getOrElse("PROF_MASTER", "local[32]"))
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROF_SHUFFLE", "32")).config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROF_AQE", "true"))
+    val nEvents = args.headOption.map(_.toLong).getOrElse(8000000L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("PROF_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROF_SHUFFLE", "96"))
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROF_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        val cpuSum = si.taskMetrics.executorRunTime / 1e3
+        println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d wall=$wall%6.2fs taskSum=$cpuSum%7.1fs avgConc=${cpuSum / math.max(wall, 0.01)}%5.1f  ${si.name.take(60)}")
+      }
+    })
 
-    val cfg = ChangeLogGen.GenConfig(numEvents = nEvents, numConvs = (nEvents / 100).toInt,
-      maxTurns = 50, logPartitions = 32)
-    val logDir = java.nio.file.Files.createTempDirectory("prof-log").toString
-    ChangeLogGen.writeLog(spark, cfg, logDir, chunks = 4)
-    val log = spark.read.parquet(logDir)
-    val dir = java.nio.file.Files.createTempDirectory("prof-table").toString
-    val table = IceLite.create(s"$dir/t", graft.model.Schemas.transcript, 64)
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[prof]   $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
-    }
-
-    (0 until 4).foreach { b =>
-      println(s"[prof] batch $b")
-      val events = log.filter(col("chunk") === b).drop("chunk")
-      val tb = System.nanoTime()
-      val valid = MergeEngine.validate(events).valid
-      val wipes = MergeEngine.seriesWipes(valid)
-      val actions = MergeEngine.netActions(valid, wipes)
-      val evolved = graft.model.Schemas.transcript
-      val normRow = struct(evolved.fields.toSeq.map(f => col(s"row.${f.name}").cast(f.dataType).as(f.name)): _*)
-      val normActions = actions.withColumn("row", normRow)
-
-      val touched = time("touched") {
-        valid.select(MergeEngine.bucketOf(col("conv_id"), 64).as("b")).distinct().collect().map(_.getInt(0)).toSet
+    val warm = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-warm").toString
+    Bench.replay(spark, 500000L, 1, 128, warm)
+    Bench.deleteRecursively(warm)
+    val saltVariants = sys.env.getOrElse("PROF_SALTS", "1,4,8").split(",").map(_.trim.toInt)
+    (1 to sys.env.getOrElse("PROF_REPEATS", "1").toInt).foreach { rep =>
+      saltVariants.foreach { k =>
+        println(s"[prof] ===== run $rep salts=$k =====")
+        val logDir = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-log").toString
+        val sec = Bench.replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir,
+          spec = graft.model.MergeSpec(numBuckets = 128, writeSalts = k))
+        println(f"[prof] run $rep salts=$k: $nEvents events in $sec%.1fs = ${nEvents / sec}%.0f ev/s")
+        Bench.deleteRecursively(logDir)
       }
-      val lineage = time("lineage") {
-        MergeEngine.tagErrors(events).groupBy("partition")
-          .agg(max("offset").as("max_off"), count(lit(1)).as("n")).collect()
-      }
-      val base = {
-        val files = table.dataFiles(Some(touched))
-        if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
-        else spark.read.schema(evolved).parquet(files: _*)
-      }
-      val merged = MergeEngine.merge(base, normActions, wipes)
-      val stage = table.newStageDir()
-      time("merge+write") {
-        merged.withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), 64))
-          .repartition(64, col("bucket"))
-          .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-          .write.mode("overwrite")
-          .option("compression", sys.env.getOrElse("PROF_CODEC", "zstd"))
-          .option("parquet.bloom.filter.enabled#conv_id", sys.env.getOrElse("PROF_BLOOM", "true"))
-          .partitionBy("bucket").parquet(stage.toString)
-      }
-      val staged = table.stagedFilesByBucket(stage)
-      val rows = time("footer-count") {
-        spark.read.schema(evolved).parquet(staged.values.flatten.map(r => s"${table.dir}/$r").toSeq: _*).count()
-      }
-      time("commit") {
-        table.commit(p => p.copy(files = (p.files -- touched.toSeq) ++ staged))
-      }
-      println(f"[prof]   TOTAL batch: ${(System.nanoTime() - tb) / 1e9}%.2fs rows=$rows")
     }
     spark.stop()
   }

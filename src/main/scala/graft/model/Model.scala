@@ -70,11 +70,20 @@ object Op {
   * @param numBuckets physical hash-bucket count of the table layout
   *                   (reference `partitions`, default 10,
   *                   `.../sink/JdbcSinkConfig.java:295-299`)
+  * @param writeSalts skew strategy for the merge write. A hot conversation
+  *                    (Zipf head) concentrates in one bucket and would make
+  *                    that bucket a straggler writer task. 0 (default) =
+  *                    AQE skew-aware rebalance: hot partitions split, small
+  *                    ones coalesce, no extra files for cold buckets;
+  *                    1 = one writer task per bucket (no skew handling);
+  *                    k>1 = fixed salt fan-out (k files per bucket — only
+  *                    for extreme known skew; costs small files)
   */
 final case class MergeSpec(
     upsertKeys: Seq[String] = Seq("conv_id", "turn_idx"),
     deleteKeys: Seq[String] = Seq("conv_id"),
-    numBuckets: Int = 32)
+    numBuckets: Int = 32,
+    writeSalts: Int = 0)
 
 /** Per-turn net action produced by the in-batch fold (SURVEY.md §2.A
   * A5/A6): the single effect this batch has on one (conv_id, turn_idx)

@@ -146,9 +146,21 @@ object CdcApply {
     val merged = MergeEngine.merge(base, normActions, wipes)
 
     val stage = table.newStageDir()
-    merged
-      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
-      .repartition(math.min(table.numBuckets, math.max(1, touched.size)), col("bucket"))
+    // Skew-aware write partitioning (MergeSpec.writeSalts): a hot
+    // conversation (Zipf head) concentrates in one bucket; partitioning
+    // the write by bucket alone would make that bucket a straggler task.
+    // Default = AQE rebalance (hot partitions split, cold coalesce);
+    // fixed salting available for extreme known skew. Files stay
+    // bucket-pure via partitionBy, so pruning is unaffected. AQE handles
+    // the join side; this handles the write side.
+    val withBucket = merged.withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+    val partitioned = spec.writeSalts match {
+      case 0 => withBucket.hint("rebalance", "bucket") // AQE splits hot buckets, coalesces cold
+      case 1 => withBucket.repartition(col("bucket"))
+      case k => withBucket.repartition(col("bucket"),
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(k.toLong)))
+    }
+    partitioned
       .sortWithinPartitions("bucket", "conv_id", "turn_idx")
       .write.mode("overwrite").options(writeOptions)
       .partitionBy("bucket")

@@ -33,7 +33,12 @@ object CdcStream {
       spec: MergeSpec = MergeSpec(),
       maxFilesPerTrigger: Option[Int] = None,
       rejectedDir: Option[String] = None,
-      availableNow: Boolean = true)
+      availableNow: Boolean = true,
+      /** when set, every event is also APPENDED to this IceLite table —
+        * the reference's INSERT-mode event log, kept alongside the
+        * latest-state view (north star: "append-only event log plus
+        * latest-state upsert view") */
+      eventLogTableDir: Option[String] = None)
 
   /** Start (or resume, given the same checkpointDir) the ingest stream.
     * Creates the table on first use with the log's after-struct schema.
@@ -42,6 +47,10 @@ object CdcStream {
     val table: IceLiteTable =
       if (IceLite.exists(cfg.tableDir)) IceLite.load(cfg.tableDir)
       else IceLite.create(cfg.tableDir, Schemas.transcript, cfg.spec.numBuckets)
+    val logTable: Option[IceLiteTable] = cfg.eventLogTableDir.map { d =>
+      if (IceLite.exists(d)) IceLite.load(d)
+      else IceLite.create(d, graft.operators.EventLogApply.logSchema(Schemas.transcript), cfg.spec.numBuckets)
+    }
 
     var reader = spark.readStream.schema(Schemas.envelope())
     cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
@@ -51,8 +60,13 @@ object CdcStream {
       .queryName(s"graft-${cfg.streamId}")
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (df: DataFrame, epochId: Long) =>
+        val batch = df.drop("chunk")
+        logTable.foreach { lt =>
+          graft.operators.EventLogApply.appendBatch(
+            spark, lt, batch, cfg.spec, epoch = Some((cfg.streamId, epochId)))
+        }
         CdcApply.applyBatch(
-          spark, table, df.drop("chunk"), cfg.spec,
+          spark, table, batch, cfg.spec,
           epoch = Some((cfg.streamId, epochId)),
           rejectedDir = cfg.rejectedDir)
         ()

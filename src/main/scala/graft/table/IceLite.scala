@@ -109,6 +109,63 @@ final class IceLiteTable(val dir: String) {
         }
         .toMap
 
+  /** Expire snapshots older than the last `keepLast`, then delete data
+    * files no longer referenced by any surviving snapshot (orphan GC —
+    * Iceberg's expire_snapshots + remove_orphan_files). Returns
+    * (snapshotsDeleted, dataFilesDeleted). Readers of surviving snapshots
+    * are unaffected: expiry never touches referenced files.
+    */
+  def expireSnapshots(keepLast: Int = 2): (Int, Int) = {
+    val versions = listSnapshotVersions
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val live: Set[String] = keep.flatMap(v => snapshot(v).files.values.flatten).toSet
+    val dead = drop.flatMap(v => snapshot(v).files.values.flatten).toSet -- live
+    dead.foreach(rel => Files.deleteIfExists(Paths.get(dir).resolve(rel)))
+    drop.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%010d.json")))
+    // sweep now-empty commit dirs
+    if (Files.isDirectory(dataDir))
+      Files.list(dataDir).iterator.asScala.filter(Files.isDirectory(_)).foreach { d =>
+        val empty = !Files.list(d).iterator.asScala.exists(p =>
+          Files.isDirectory(p) && Files.list(p).iterator.asScala.nonEmpty)
+        if (empty) { Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)) }
+      }
+    (drop.size, dead.size)
+  }
+
+  /** Compact buckets that have accumulated more than `maxFilesPerBucket`
+    * data files (append-mode fragmentation) into one sorted file each.
+    * Returns the number of buckets compacted.
+    */
+  def compact(spark: SparkSession, maxFilesPerBucket: Int = 8,
+              sortCols: Seq[String] = Seq("conv_id", "turn_idx")): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = current
+    val fragmented = cur.files.filter(_._2.size > maxFilesPerBucket).keys.toSet
+    if (fragmented.isEmpty) return 0
+    val stage = newStageDir()
+    val sch = schema
+    fragmented.foreach { b =>
+      val files = cur.files(b).map(rel => Paths.get(dir).resolve(rel).toString)
+      spark.read.schema(sch).parquet(files: _*)
+        .coalesce(1)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("append")
+        .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#conv_id", "true")
+        .parquet(s"$stage/bucket=$b")
+    }
+    val staged = stagedFilesByBucket(stage)
+    commit { parent =>
+      // replace a bucket only if no concurrent commit changed it since we
+      // read `cur` — otherwise dropping the newer files would lose data
+      val safe = staged.filter { case (b, _) => parent.files.get(b).contains(cur.files(b)) }
+      parent.copy(
+        files = parent.files ++ safe,
+        metrics = Map("bucketsCompacted" -> safe.size.toLong))
+    }
+    fragmented.size
+  }
+
   /** CAS commit: build the child snapshot from the freshly-read current
     * one, publish as version+1 via atomic create-if-absent. Retries on
     * losing a race (another writer published first).
