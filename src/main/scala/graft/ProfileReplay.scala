@@ -29,14 +29,14 @@ object ProfileReplay {
     val warm = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-warm").toString
     Bench.replay(spark, 500000L, 1, 128, warm)
     Bench.deleteRecursively(warm)
-    val saltVariants = sys.env.getOrElse("PROF_SALTS", "1,4,8").split(",").map(_.trim.toInt)
+    val foldVariants = sys.env.getOrElse("PROF_FOLDS", "join,agg").split(",").map(_.trim)
     (1 to sys.env.getOrElse("PROF_REPEATS", "1").toInt).foreach { rep =>
-      saltVariants.foreach { k =>
-        println(s"[prof] ===== run $rep salts=$k =====")
+      foldVariants.foreach { f =>
+        println(s"[prof] ===== run $rep fold=$f =====")
         val logDir = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-log").toString
         val sec = Bench.replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir,
-          spec = graft.model.MergeSpec(numBuckets = 128, writeSalts = k))
-        println(f"[prof] run $rep salts=$k: $nEvents events in $sec%.1fs = ${nEvents / sec}%.0f ev/s")
+          spec = graft.model.MergeSpec(numBuckets = 128, foldStrategy = f))
+        println(f"[prof] run $rep fold=$f: $nEvents events in $sec%.1fs = ${nEvents / sec}%.0f ev/s")
         Bench.deleteRecursively(logDir)
       }
     }

@@ -78,12 +78,29 @@ object Op {
   *                    1 = one writer task per bucket (no skew handling);
   *                    k>1 = fixed salt fan-out (k files per bucket — only
   *                    for extreme known skew; costs small files)
+  * @param deleteEnabled when false, tombstones are invalid input and are
+  *                    quarantined (reference `delete.enabled` +
+  *                    RecordValidator, `.../sink/RecordValidator.java:44-117`)
+  * @param coordinates when true, the state table carries `_partition` and
+  *                    `_offset` of each row's winning event (reference
+  *                    `coordinates.enabled` kafka-coordinate columns,
+  *                    `.../sink/JdbcSinkConfig.java:52-59`)
   */
 final case class MergeSpec(
     upsertKeys: Seq[String] = Seq("conv_id", "turn_idx"),
     deleteKeys: Seq[String] = Seq("conv_id"),
     numBuckets: Int = 32,
-    writeSalts: Int = 0)
+    writeSalts: Int = 0,
+    deleteEnabled: Boolean = true,
+    coordinates: Boolean = false,
+    /** per-key fold plan: "agg" (default) = single struct-valued
+      * aggregation (plans as SortAggregate — struct buffers cannot hash
+      * aggregate — but scans the batch once and measured 25-60% FASTER
+      * than the alternative); "join" = all-primitive HashAggregate + one
+      * deciding-row fetch join (payload never enters the agg shuffle, but
+      * pays a second batch scan, a join and a distinct — measured slower;
+      * kept as the escape hatch for payloads far wider than these) */
+    foldStrategy: String = "agg")
 
 /** Per-turn net action produced by the in-batch fold (SURVEY.md §2.A
   * A5/A6): the single effect this batch has on one (conv_id, turn_idx)

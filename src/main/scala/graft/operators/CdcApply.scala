@@ -65,7 +65,7 @@ object CdcApply {
         return BatchResult(snap0, skipped = true, 0L, 0L, 0L)
     }
 
-    val vb = MergeEngine.validate(events)
+    val vb = MergeEngine.validate(events, spec.deleteEnabled)
     rejectedDir.foreach { d =>
       vb.rejected
         .withColumn("_rejected_at_epoch", lit(epoch.map(_._2).getOrElse(-1L)))
@@ -75,10 +75,16 @@ object CdcApply {
     // --- schema evolution (ALTER-ADD semantics, SchemaEvolution rules) ---
     val tableSchema0 = org.apache.spark.sql.types.DataType.fromJson(snap0.schemaJson).asInstanceOf[StructType]
     val incoming = events.schema("after").dataType.asInstanceOf[StructType]
-    val evolved = SchemaEvolution.merge(tableSchema0, incoming) match {
+    val evolved0 = SchemaEvolution.merge(tableSchema0, incoming) match {
       case Right(s) => s
       case Left(reason) => throw new IllegalArgumentException(s"schema rejected: $reason")
     }
+    // kafka-coordinate lineage columns (reference `coordinates.enabled`)
+    val evolved =
+      if (!spec.coordinates) evolved0
+      else StructType(evolved0.fields.filterNot(f => f.name == "_partition" || f.name == "_offset") ++ Seq(
+        org.apache.spark.sql.types.StructField("_partition", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("_offset", org.apache.spark.sql.types.LongType)))
 
     val valid = vb.valid
 
@@ -92,7 +98,7 @@ object CdcApply {
     // a driver-local relation instead of two broadcast-subquery re-scans
     // of the batch inside the merge plan).
     val isWipe = col("op") === "delete" && col("turn_idx").isNull && col("_error").isNull
-    val lineage = MergeEngine.tagErrors(events).groupBy("partition")
+    val lineage = MergeEngine.tagErrors(events, spec.deleteEnabled).groupBy("partition")
       .agg(
         max("offset").as("max_off"),
         count(lit(1)).as("n"),
@@ -118,14 +124,20 @@ object CdcApply {
         org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
 
     // --- per-key fold (computed once, consumed lazily by the merge) ---
-    val actions = MergeEngine.netActions(valid, wipes)
+    val actions =
+      if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
+      else MergeEngine.netActionsViaJoin(valid, wipes)
 
     // Normalize action rows to the (possibly evolved) table schema:
     // missing columns → null, narrower types → up-cast.
     val rowFields = actions.schema("row").dataType.asInstanceOf[StructType].fieldNames.toSet
     val normRow = struct(evolved.fields.toSeq.map { f =>
-      (if (rowFields.contains(f.name)) col(s"row.${f.name}").cast(f.dataType)
-       else lit(null).cast(f.dataType)).as(f.name)
+      (f.name match {
+        case "_partition" if spec.coordinates => col("src_partition").cast(f.dataType)
+        case "_offset" if spec.coordinates    => col("src_offset").cast(f.dataType)
+        case n if rowFields.contains(n)       => col(s"row.$n").cast(f.dataType)
+        case _                                => lit(null).cast(f.dataType)
+      }).as(f.name)
     }: _*)
     val normActions = actions.withColumn("row", normRow)
 

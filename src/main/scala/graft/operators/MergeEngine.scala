@@ -58,17 +58,19 @@ object MergeEngine {
   final case class ValidatedBatch(valid: DataFrame, rejected: DataFrame)
 
   /** Adds a nullable `_error` column (null = valid). */
-  def tagErrors(events: DataFrame): DataFrame = {
-    val err = when(col("conv_id").isNull, "null key")
+  def tagErrors(events: DataFrame, deleteEnabled: Boolean = true): DataFrame = {
+    val base = when(col("conv_id").isNull, "null key")
       .when(!col("op").isin("insert", "update", "upsert", "delete"), "unknown op")
       .when(col("op") =!= "delete" && col("after").isNull, "null value for non-tombstone")
       .when(col("op") =!= "delete" && col("turn_idx").isNull, "null upsert-key field turn_idx")
-      .otherwise(null)
+    val err =
+      if (deleteEnabled) base.otherwise(null)
+      else base.when(col("op") === "delete", "tombstone with delete.enabled=false").otherwise(null)
     events.withColumn("_error", err)
   }
 
-  def validate(events: DataFrame): ValidatedBatch = {
-    val tagged = tagErrors(events)
+  def validate(events: DataFrame, deleteEnabled: Boolean = true): ValidatedBatch = {
+    val tagged = tagErrors(events, deleteEnabled)
     ValidatedBatch(
       valid = tagged.filter(col("_error").isNull).drop("_error"),
       rejected = tagged.filter(col("_error").isNotNull))
@@ -119,9 +121,10 @@ object MergeEngine {
       .groupBy("conv_id", "turn_idx")
       .agg(
         max(anchorOff).as("a_off"),
-        max_by(struct(col("op").as("op"), col("after").as("after")), anchorOff).as("anchor"),
+        max_by(struct(col("op").as("op"), col("after").as("after"), col("partition").as("part")), anchorOff)
+          .as("anchor"),
         max(updOff).as("u_off"),
-        max_by(col("after"), updOff).as("last_upd"),
+        max_by(struct(col("after").as("after"), col("partition").as("part")), updOff).as("upd"),
         max(col("wipe_off")).as("wipe_off"))
       .select(
         col("conv_id"),
@@ -131,11 +134,81 @@ object MergeEngine {
           .when(col("anchor.op") === "delete", NetAction.Del)
           .otherwise(NetAction.Put)
           .as("action"),
-        when(col("a_off").isNull, col("last_upd"))
+        when(col("a_off").isNull, col("upd.after"))
           .when(col("anchor.op") === "delete", lit(null))
-          .when(col("u_off") > col("a_off"), col("last_upd"))
+          .when(col("u_off") > col("a_off"), col("upd.after"))
           .otherwise(col("anchor.after"))
-          .as("row"))
+          .as("row"),
+        // lineage of the winning version (the reference's optional kafka
+        // coordinate columns, `.../sink/JdbcSinkConfig.java:52-59`)
+        when(col("a_off").isNull || col("u_off") > col("a_off"), col("u_off"))
+          .otherwise(col("a_off")).as("src_offset"),
+        when(col("a_off").isNull || col("u_off") > col("a_off"), col("upd.part"))
+          .otherwise(col("anchor.part")).as("src_partition"))
+  }
+
+  /** Fold strategy 2 — "narrow agg + deciding-row fetch". The struct-valued
+    * `max_by` in [[netActions]] forces SortAggregate (struct buffers cannot
+    * hash-aggregate), which sorts the full payload-bearing batch twice.
+    * This variant keeps the aggregation ALL-PRIMITIVE (offsets + an int
+    * opcode → HashAggregate, payload never enters the agg shuffle), then
+    * fetches the single deciding event row per key with one equi-join,
+    * and dedupes re-delivered duplicates with a hash-based distinct.
+    * Semantically identical to [[netActions]] (same oracle equivalence
+    * suites run against both).
+    */
+  def netActionsViaJoin(events: DataFrame, wipes: DataFrame): DataFrame = {
+    val turnEvents = events
+      .filter(col("turn_idx").isNotNull)
+      .join(broadcast(wipes), Seq("conv_id"), "left")
+      .filter(col("offset") > coalesce(col("wipe_off"), lit(Long.MinValue)))
+
+    val isUpd = col("op") === "update"
+    val anchorOff = when(!isUpd, col("offset"))
+    val updOff = when(isUpd, col("offset"))
+    val opInt = when(col("op") === "delete", 1).otherwise(2) // only delete-vs-write matters for the anchor
+
+    val winners = turnEvents
+      .groupBy("conv_id", "turn_idx")
+      .agg(
+        max(anchorOff).as("a_off"),
+        max_by(opInt, anchorOff).as("a_op"),
+        max(updOff).as("u_off"),
+        max(col("wipe_off")).as("wipe_off"))
+      .withColumn("action",
+        when(col("a_off").isNotNull && col("a_op") === 1, NetAction.Del)
+          .when(col("a_off").isNull && col("wipe_off").isNull, NetAction.UpdateIfExists)
+          .when(col("a_off").isNull, NetAction.Del)
+          .otherwise(NetAction.Put))
+      .withColumn("fetch_off",
+        when(col("action") === NetAction.Del, lit(null))
+          .when(col("a_off").isNull || col("u_off") > col("a_off"), col("u_off"))
+          .otherwise(col("a_off")))
+
+    val dels = winners.filter(col("action") === NetAction.Del).select(
+      col("conv_id"), col("turn_idx"), col("action"),
+      lit(null).cast(events.schema("after").dataType).as("row"),
+      greatest(col("a_off"), col("u_off")).as("src_offset"),
+      lit(null).cast("int").as("src_partition"))
+
+    val ev = turnEvents.select(
+      col("conv_id"), col("turn_idx"), col("offset"),
+      col("after"), col("partition"))
+    // SHUFFLE_HASH on the narrow winners side: a sort-merge join would
+    // sort the payload-bearing ev side — the cost this strategy removes
+    val fetched = winners.filter(col("fetch_off").isNotNull).hint("shuffle_hash").as("w")
+      .join(ev.as("e"),
+        col("w.conv_id") === col("e.conv_id") && col("w.turn_idx") === col("e.turn_idx") &&
+          col("e.offset") === col("w.fetch_off"))
+      .select(
+        col("e.conv_id").as("conv_id"), col("e.turn_idx").as("turn_idx"), col("w.action").as("action"),
+        col("e.after").as("row"),
+        col("e.offset").as("src_offset"),
+        col("e.partition").as("src_partition"))
+      // re-delivered duplicates fetch identical rows — hash distinct
+      .distinct()
+
+    fetched.unionByName(dels)
   }
 
   /** Copy-on-write merge of net actions (+ series wipes) into the base
@@ -149,9 +222,12 @@ object MergeEngine {
   def merge(base: DataFrame, actions: DataFrame, wipes: DataFrame): DataFrame = {
     val key = Seq("conv_id", "turn_idx")
     val cols = base.columns.toSeq
+    // build the hash table on the actions side (<= one row per touched
+    // key; the base side is the whole bucket content and would pay a sort
+    // under sort-merge join)
     val a = actions
       .withColumnRenamed("row", "_row")
-      .withColumn("_has_action", lit(true))
+      .hint("shuffle_hash")
     val w = broadcast(wipes.select(col("conv_id"), lit(true).as("_wiped")))
 
     val rowCol = (name: String) =>

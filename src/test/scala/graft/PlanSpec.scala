@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the Spark-first design claims (pushdown,
+  * pruning, broadcast, codegen, bucket pruning) hold in the actual plans,
+  * not just in comments. Uses explain(formatted) output.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter + projection are pushed into the parquet scan (q02)") {
+    val plan = planOf(SparkEntry.queries("q02_filter_project")(spark, dir))
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(l_discount"), plan)
+    // column pruning: the scan reads only the needed columns, not l_tax etc.
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("small dimensions are broadcast (q04)") {
+    val plan = planOf(SparkEntry.queries("q04_broadcast_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline (q01)") {
+    // AQE shows codegen spans only on the executed plan
+    val df = SparkEntry.queries("q01_agg_pricing")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(1500))
+  }
+
+  test("the CDC fold hash-aggregates and never sorts the payload (fold=join)") {
+    import TestHelpers._
+    val events = eventsDF(spark, Seq(ins(0, "c1", 0, "a"), upd(1, "c1", 0, "b")))
+    val wipes = graft.operators.MergeEngine.seriesWipes(events)
+    val plan = planOf(graft.operators.MergeEngine.netActionsViaJoin(events, wipes))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"),
+      "fold aggregation must stay all-primitive (struct buffers force SortAggregate)")
+    assert(!plan.contains("Window"), "fold must not use window functions")
+  }
+
+  test("fold=agg (comparison strategy) is the SortAggregate shape it claims to be") {
+    import TestHelpers._
+    val events = eventsDF(spark, Seq(ins(0, "c1", 0, "a")))
+    val plan = planOf(graft.operators.MergeEngine.netActions(events))
+    assert(plan.contains("Aggregate"), plan.take(1000))
+  }
+
+  test("IceLite point read scans only the target bucket's files") {
+    import TestHelpers._
+    val d = tmpDir("planspec") + "/t"
+    val t = graft.table.IceLite.create(d, turnSchema, 16)
+    val evs = (0 until 64).map(i => ins(i.toLong, f"c$i%02d", 0, s"v$i"))
+    graft.operators.CdcApply.applyBatch(spark, t, eventsDF(spark, evs))
+    val b = spark.range(1)
+      .select(graft.operators.MergeEngine.bucketOf(lit("c07"), 16)).collect()(0).getInt(0)
+    val pruned = t.read(spark, Some(Set(b)))
+    val allFiles = t.dataFiles().size
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f })
+      .map(_.relation.location.inputFiles.length).sum
+    assert(scanned < allFiles, s"scanned $scanned of $allFiles")
+  }
+
+  test("events parquet scan prunes to envelope columns used by the planning aggregate") {
+    import TestHelpers._
+    val d = tmpDir("planspec-scan")
+    eventsDF(spark, Seq(ins(0, "c1", 0, "a"))).write.parquet(s"$d/ev")
+    val fromDisk = spark.read.parquet(s"$d/ev")
+    val plan = planOf(
+      graft.operators.MergeEngine.tagErrors(fromDisk)
+        .groupBy("partition").agg(max("offset"), count(lit(1))))
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"planning scan must not read payload text: $readSchema")
+  }
+}
