@@ -79,7 +79,10 @@ object Bench {
     }
 
     // headline: CDC replay throughput (2M events, 4 epochs)
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
+    // 8M events in 2M-event epochs: large enough that per-batch fixed cost
+    // (~2-4s driver/planning) amortizes — small batches measure scheduler
+    // overhead, not the engine (see BENCH/BASELINE.md)
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
     val logDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-log").toString
     val replaySec = replay(spark, nEvents, numBatches = 4, buckets = 64, logDir = logDir)
     deleteRecursively(logDir)

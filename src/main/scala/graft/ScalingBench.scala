@@ -95,8 +95,9 @@ object ScalingBench {
            |snapshot commit. Shuffle partitions = core count; AQE on;
            |committer algorithm v2.
            |""".stripMargin
-      Files.writeString(Paths.get(s"$benchDir/BASELINE.md"), md)
-      println(f"[scaling] efficiency = $eff%.2f -> BENCH/BASELINE.md")
+      // raw tool output — BENCH/BASELINE.md is the curated evidence doc
+      Files.writeString(Paths.get(s"$benchDir/scaling-latest.md"), md)
+      println(f"[scaling] efficiency = $eff%.2f -> BENCH/scaling-latest.md")
     }
   }
 }
