@@ -86,7 +86,7 @@ object Bench {
     val logDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-log").toString
     val replaySec = replay(spark, nEvents, numBatches = 4, buckets = 64, logDir = logDir)
     deleteRecursively(logDir)
-    results("cdc_replay_2m") = replaySec
+    results("cdc_replay") = replaySec
     val evps = nEvents / replaySec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
