@@ -37,6 +37,37 @@ object ContentQueries {
   private val dotExpr = "aggregate(zip_with(pv, v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
   private def normExpr(c: String) = s"sqrt(aggregate(transform($c, x -> x * x), 0d, (acc, x) -> acc + x))"
 
+  /** Sign-bit LSH bucket of a double vector (first `bits` dimensions).
+    * Shared by q27 (near-dup blocking) and q28 (IVF-style ANN): cosine-
+    * similar vectors land in the same bucket with high probability, so
+    * the all-pairs work is n²/2^bits per bucket instead of n² per label.
+    */
+  private def signBucket(bits: Int): Column =
+    (0 until bits).map(i => when(element_at(col("v"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Banded-MinHash LSH candidate pairs over `documents` (shared by q19
+    * and the q21 Jaccard gate): word 3-shingles → 4 min-hash bands →
+    * bands MELTED to rows → ONE self-join on (band, band_val). Melting
+    * (vs one join per band) lets Catalyst reuse the signature exchange on
+    * both sides instead of recomputing the shingle subplan 8×.
+    */
+  private def lshCandidates(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(wordShingles(3))).as("sh"))
+    val bands = (0 until 4).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"b$j"))
+    val sig = sh.groupBy("doc_id").agg(bands.head, bands.tail: _*)
+    val melted = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(j => col(s"b$j")): _*)).as(Seq("band", "bv")))
+    melted.as("a").join(melted.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+  }
+
   private def cosineJoin(probes: DataFrame, cands: DataFrame): DataFrame =
     probes.crossJoin(cands)
       .filter(col("vec_id") =!= col("pid"))
@@ -50,19 +81,8 @@ object ContentQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
     }),
 
-    "q19_dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(wordShingles(3))).as("sh"))
-      val bands = (0 until 4).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"b$j"))
-      val sig = sh.groupBy("doc_id").agg(bands.head, bands.tail: _*)
-      (0 until 4).map { j =>
-        sig.as("a").join(sig.as("b"),
-          col(s"a.b$j") === col(s"b.b$j") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      }.reduce(_ union _).distinct()
-    }),
+    "q19_dedup_minhash_lsh" -> ((s, dir) =>
+      lshCandidates(t(s, dir, "documents"))),
 
     "q20_dedup_simhash" -> ((s, dir) => {
       val words = t(s, dir, "documents")
@@ -77,21 +97,25 @@ object ContentQueries {
           .reduce(_ + _).as("simhash"))
     }),
 
+    // LSH-gated exact n-gram Jaccard: candidates from the q19 banding,
+    // exact char-3-gram Jaccard computed ONLY on candidate pairs. The
+    // blocked all-pairs formulation this replaces was quadratic within a
+    // block (27.7 s at sf0.1, unsafe at 100 TB); candidate volume scales
+    // with true-duplicate density instead of corpus size.
     "q21_dedup_ngram_jaccard" -> ((s, dir) => {
-      // repartition = materialization barrier: without it Catalyst collapses
-      // the shingle-array projection into the self-join and recomputes the
-      // arrays once per PAIR instead of once per row (measured 68s -> ~2s)
-      val d = t(s, dir, "documents").select(
-        col("doc_id"), col("lang"), floor(col("n_chars") / lit(64)).as("blk"),
+      val docs = t(s, dir, "documents")
+      // repartition = materialization barrier: without it Catalyst inlines
+      // the gram-array projection into the joins and recomputes per PAIR
+      val grams = docs.select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))").as("g"))
-        .repartition(col("lang"), col("blk"))
-      d.as("x").join(d.as("y"),
-          col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
-            col("x.doc_id") < col("y.doc_id"))
+        .repartition(col("doc_id"))
+      lshCandidates(docs)
+        .join(grams.select(col("doc_id").as("ida"), col("g").as("ga")), "ida")
+        .join(grams.select(col("doc_id").as("idb"), col("g").as("gb")), "idb")
         .select(
-          col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
-          size(array_intersect(col("x.g"), col("y.g"))).as("inter"),
-          size(col("x.g")).as("na"), size(col("y.g")).as("nb"))
+          col("ida"), col("idb"),
+          size(array_intersect(col("ga"), col("gb"))).as("inter"),
+          size(col("ga")).as("na"), size(col("gb")).as("nb"))
         .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 3)
     }),
 
@@ -151,11 +175,19 @@ object ContentQueries {
         .select(col("pid"), col("vec_id").as("neighbor_id"), col("rank"))
     }),
 
+    // LSH-blocked embedding near-dup: join keys are (label, sign-bit
+    // bucket), not label alone — a hot label is no longer O(n²) in that
+    // group. Multi-probe (Hamming ≤ 1 on the 6-bit bucket: the probe side
+    // explodes to 7 buckets) recovers most of the recall plain blocking
+    // loses; each qualifying pair matches on exactly one probe, so no
+    // dedup is needed.
     "q27_embed_neardup" -> ((s, dir) => {
-      val v = vecs(s, dir)
-      val a = v.select(col("label"), col("vec_id").as("pid"), col("v").as("pv"))
-      val b = v.select(col("label"), col("vec_id"), col("v"))
-      a.join(b, Seq("label"))
+      val v = vecs(s, dir).withColumn("bkt", signBucket(6))
+      val probeBkts = array((col("bkt") +: (0 until 6).map(i =>
+        col("bkt").bitwiseXOR(lit(1 << i)))): _*)
+      val a = v.select(col("label"), col("vec_id").as("pid"), col("v").as("pv"),
+        explode(probeBkts).as("bkt"))
+      a.join(v, Seq("label", "bkt"))
         .filter(col("pid") < col("vec_id"))
         .withColumn("cos", expr(s"$dotExpr / (${normExpr("pv")} * ${normExpr("v")})"))
         .filter(col("cos") >= 0.35)
@@ -163,9 +195,7 @@ object ContentQueries {
     }),
 
     "q28_ann_ivf" -> ((s, dir) => {
-      val v = vecs(s, dir).withColumn("bkt",
-        (0 until 6).map(i => when(element_at(col("v"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
-          .reduce(_ + _))
+      val v = vecs(s, dir).withColumn("bkt", signBucket(6))
       val probes = v.filter(col("vec_id") < 20)
         .select(col("bkt"), col("vec_id").as("pid"), col("v").as("pv"))
       val scored = probes.join(v, Seq("bkt"))
@@ -211,16 +241,22 @@ object ContentQueries {
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) AS h FROM words),
          |sums AS (SELECT doc_id, $simhashSums FROM h GROUP BY doc_id)
-         |SELECT doc_id, $simhashBits AS simhash FROM sums""".stripMargin,
+         |SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM sums""".stripMargin,
     "q21_dedup_ngram_jaccard" ->
-      """WITH d AS (
-        | SELECT doc_id, lang, n_chars // 64 AS blk,
-        |  list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
-        | FROM documents)
-        |SELECT x.doc_id AS ida, y.doc_id AS idb,
-        | len(list_intersect(x.g, y.g)) AS inter, len(x.g) AS na, len(y.g) AS nb
-        |FROM d x JOIN d y ON x.lang = y.lang AND x.blk = y.blk AND x.doc_id < y.doc_id
-        |WHERE len(list_intersect(x.g, y.g)) * 10 >= (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) * 3""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |sig AS (SELECT doc_id, $lshBands FROM sh GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT ida, idb FROM (
+         | $lshPairUnion)),
+         |d AS (SELECT doc_id,
+         |  list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+         | FROM documents)
+         |SELECT c.ida, c.idb,
+         | CAST(len(list_intersect(x.g, y.g)) AS INT) AS inter,
+         | CAST(len(x.g) AS INT) AS na, CAST(len(y.g) AS INT) AS nb
+         |FROM cand c JOIN d x ON x.doc_id = c.ida JOIN d y ON y.doc_id = c.idb
+         |WHERE len(list_intersect(x.g, y.g)) * 10 >= (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) * 3""".stripMargin,
     "q22_text_langid" ->
       """WITH c AS (
         | SELECT doc_id,
@@ -242,13 +278,13 @@ object ContentQueries {
         |  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
         |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS c_the
         | FROM documents)
-        |SELECT doc_id, n_words, n_alpha,
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_alpha AS INT) AS n_alpha,
         | (n_alpha * 100) // n_words AS awl_x100,
         | (c_the * 1000) // n_words AS stop_x1000
         |FROM b""".stripMargin,
     "q24_text_tokens" ->
-      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
-        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens, n_chars
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens, n_chars
         |FROM documents""".stripMargin,
     "q25_text_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -263,14 +299,23 @@ object ContentQueries {
         |s AS (SELECT pid, vec_id,
         |  list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS cos
         | FROM p, v WHERE vec_id <> pid)
-        |SELECT pid, vec_id AS neighbor_id, rank FROM (
+        |SELECT pid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank FROM (
         | SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
         |WHERE rank <= 3""".stripMargin,
     "q27_embed_neardup" ->
-      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS ida, b.vec_id AS idb, a.label
-        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin,
+      """WITH v AS (
+        | SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+        | FROM embeddings),
+        |p AS (
+        | SELECT label, vec_id AS pid, v AS pv,
+        |  unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8), xor(bkt, 16), xor(bkt, 32)]) AS bkt
+        | FROM v)
+        |SELECT p.pid AS ida, b.vec_id AS idb, p.label
+        |FROM p JOIN v b ON p.label = b.label AND p.bkt = b.bkt AND p.pid < b.vec_id
+        |WHERE list_dot_product(p.pv, b.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin,
     "q28_ann_ivf" ->
       """WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -282,15 +327,15 @@ object ContentQueries {
         |s AS (SELECT p.pid, v.vec_id, p.bkt,
         |  list_dot_product(p.pv, v.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(v.v, v.v))) AS cos
         | FROM p JOIN v ON p.bkt = v.bkt AND v.vec_id <> p.pid)
-        |SELECT pid, vec_id AS neighbor_id, rank, bkt FROM (
+        |SELECT pid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank, bkt FROM (
         | SELECT pid, vec_id, bkt, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
         |WHERE rank <= 3""".stripMargin,
     "q29_mm_decode" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        | octet_length(encode(text)) AS n_bytes,
-        | 64 + octet_length(encode(text)) % 576 AS width,
-        | 64 + (octet_length(encode(text)) * 7) % 416 AS height,
-        | CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS frames
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | CAST(64 + octet_length(encode(text)) % 576 AS INT) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 7) % 416 AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS INT) AS frames
         |FROM documents""".stripMargin)
 }

@@ -19,6 +19,10 @@ object RelationalCdcQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   private val dec = "decimal(18,4)"
+  // DuckDB's sum(DECIMAL(18,4)) widens to DECIMAL(38,4) while Spark's
+  // widens to DECIMAL(28,4); the driver hashes the TYPED serialization, so
+  // every decimal SUM is cast to the common DECIMAL(38,4) on the Spark side.
+  private val decSum = "decimal(38,4)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- scan + aggregate (TPC-H Q1 shape; reference has no aggs of its
@@ -28,9 +32,9 @@ object RelationalCdcQueries {
         .filter(col("l_shipdate") <= lit("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).as("sum_disc_price"),
+          sum(col("l_quantity").cast(dec)).cast(decSum).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(decSum).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).cast(decSum).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -48,7 +52,7 @@ object RelationalCdcQueries {
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).as("revenue"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).cast(decSum).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_lines"))
     }),
@@ -61,7 +65,7 @@ object RelationalCdcQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(dec)).as("total"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(dec)).cast(decSum).as("total"))
     }),
 
     // -- window ranking (the engine's LWW primitive) ----------------------
@@ -157,7 +161,9 @@ object RelationalCdcQueries {
       val dead = e.filter(col("event_type").isin("signup", "purchase", "error"))
         .groupBy(col("user_id")).agg(max_by(col("event_type"), col("event_id")).as("a_type"))
         .filter(col("a_type") === "error").select(col("user_id"))
-      e.join(broadcast(dead), Seq("user_id"), "left_anti")
+      // no broadcast hint: the dead-key set is O(deleted users) — unbounded
+      // at scale. AQE broadcasts it at runtime when it is actually small.
+      e.join(dead, Seq("user_id"), "left_anti")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("last_event"))
     }),
@@ -193,7 +199,7 @@ object RelationalCdcQueries {
       t(s, dir, "events")
         .filter(pmod(col("user_id"), lit(16)) === 3)
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("total_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(decSum).as("total_value"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -223,7 +229,7 @@ object RelationalCdcQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "q05_window_topn" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         | FROM orders) WHERE rn <= 2""".stripMargin,
@@ -240,8 +246,8 @@ object RelationalCdcQueries {
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
     "q09_scalar_funcs" ->
       """SELECT o_orderkey, upper(o_orderpriority) AS pri_u,
-        | substring(o_orderpriority, 1, 1) AS pri_c, length(o_orderstatus) AS st_len,
-        | year(o_orderdate) AS y, month(o_orderdate) AS m,
+        | substring(o_orderpriority, 1, 1) AS pri_c, CAST(length(o_orderstatus) AS INT) AS st_len,
+        | CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mth
         |FROM orders""".stripMargin,
     "q10_payload_extract" ->
@@ -277,9 +283,9 @@ object RelationalCdcQueries {
         |GROUP BY user_id""".stripMargin,
     "q14_cdc_validate" ->
       """SELECT
-        | sum(CASE WHEN event_type NOT IN ('signup','purchase','error','click','view') THEN 1 ELSE 0 END) AS bad_op,
-        | sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-        | sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_key,
+        | CAST(sum(CASE WHEN event_type NOT IN ('signup','purchase','error','click','view') THEN 1 ELSE 0 END) AS BIGINT) AS bad_op,
+        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        | CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
         | count(*) AS total
         |FROM events""".stripMargin,
     "q15_cdc_schema_drift" ->

@@ -54,6 +54,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ engine={sorted(gcols)} oracle={sorted(wcols)}")
             n_bad += 1
             continue
+        # type-alignment check: the driver hashes the TYPED serialization,
+        # so e.g. Spark DECIMAL(28,4) vs DuckDB DECIMAL(38,4) is a FAIL
+        # even when values match (round-1 lesson).
+        gt = {r[0]: r[1] for r in
+              con.execute(f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()}
+        wt = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        mismatch = {c: (gt[c], wt[c]) for c in gt if gt[c] != wt.get(c)}
+        if mismatch:
+            print(f"FAIL {name}: result types differ {mismatch}")
+            n_bad += 1
+            continue
         g, w = canon(grows, gcols), canon(wrows, wcols)
         if g == w:
             print(f"ok   {name}: {len(g)} rows")
