@@ -24,9 +24,11 @@ object Bench {
   def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    if (java.nio.file.Files.exists(root)) {
+      val w = java.nio.file.Files.walk(root)
+      try w.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
   }
 
   def replay(spark: SparkSession, numEvents: Long, numBatches: Int, buckets: Int, logDir: String,
@@ -72,10 +74,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); results(name) = (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        // a crashed query must not masquerade as a fast one
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failed += name
+        results(name) = -1.0
+      }
     }
 
     // headline: CDC replay throughput (2M events, 4 epochs)
@@ -90,8 +98,9 @@ object Bench {
     val evps = nEvents / replaySec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents}""")
     spark.stop()
   }
 }

@@ -40,6 +40,7 @@ object Demo {
       val batch = log.filter(col("offset") >= b * batchSize && col("offset") < (b + 1) * batchSize)
       val res = CdcApply.applyBatch(spark, table, batch, epoch = Some(("demo", b.toLong)))
       println(s"[demo] epoch $b: applied=${res.eventsSeen} rowsWritten=${res.rowsWritten} " +
+        s"deltaFilesAdded=${res.snapshot.metrics.getOrElse("deltaFilesAdded", 0L)} " +
         s"bucketsRewritten=${res.snapshot.metrics.getOrElse("bucketsRewritten", 0L)} snapshotV=${res.snapshot.version}")
     }
     val secs = (System.nanoTime() - t0) / 1e9
@@ -58,9 +59,16 @@ object Demo {
     val bucket = spark.range(1)
       .select(MergeEngine.bucketOf(lit(conv), table.numBuckets)).collect()(0).getInt(0)
     val pruned = table.read(spark, Some(Set(bucket))).filter(col("conv_id") === conv)
+    def files(b: Option[Set[Int]]) = table.dataFiles(b).size + table.deltaFiles(b).size
     println(s"[demo] point query conv=$conv bucket=$bucket -> ${pruned.count()} turns " +
-      s"(scanned ${table.dataFiles(Some(Set(bucket))).size} of ${table.dataFiles().size} files)")
+      s"(scanned ${files(Some(Set(bucket)))} of ${files(None)} base+delta files)")
     pruned.orderBy("turn_idx").show(5, truncate = 60)
+
+    // merge-on-read maintenance: fold outstanding deltas into base files
+    val morCompacted = table.compactDeltas(spark)
+    println(s"[demo] compacted $morCompacted delta buckets -> " +
+      s"${table.dataFiles().size} base files, ${table.deltaFiles().size} delta files; " +
+      s"state rows unchanged: ${table.read(spark).count() == n}")
 
     println(s"[demo] snapshot properties: ${table.current.properties.toSeq.sortBy(_._1).mkString(", ")}")
 

@@ -100,7 +100,26 @@ final case class MergeSpec(
       * deciding-row fetch join (payload never enters the agg shuffle, but
       * pays a second batch scan, a join and a distinct — measured slower;
       * kept as the escape hatch for payloads far wider than these) */
-    foldStrategy: String = "agg")
+    foldStrategy: String = "agg",
+    /** how a batch's net actions reach the table.
+      *
+      * "cow" = copy-on-write: every affected bucket is rewritten per
+      * batch. Reads are pure base-file scans, but write amplification is
+      * O(table state) per batch once keys are spread across buckets —
+      * the reference instead applies O(changes) row-level DML per batch
+      * (`.../sink/BufferedRecords.java:294-336`).
+      *
+      * "mor" (default) = merge-on-read: the batch's net actions are
+      * APPENDED as per-bucket delta files (O(changes) per commit, like
+      * the reference) and folded into the base rows at read time; buckets
+      * whose delta count crosses [[morCompactThreshold]] are compacted
+      * back to plain base files (the copy-on-write moment, amortized).
+      * This is Iceberg's equality-delete/merge-on-read shape. */
+    mergeStrategy: String = "mor",
+    /** MOR only: compact a bucket back to base files once it holds more
+      * than this many delta files (bounds read-time merge work and makes
+      * write amplification O(state/threshold) amortized, not O(state)). */
+    morCompactThreshold: Int = 16)
 
 /** Per-turn net action produced by the in-batch fold (SURVEY.md §2.A
   * A5/A6): the single effect this batch has on one (conv_id, turn_idx)
@@ -116,4 +135,9 @@ object NetAction {
   /** update only if the key exists in the base table (reference UPDATE
     * mode: unmatched rows are dropped, `.../dialect/GenericDatabaseDialect.java:998-1019`) */
   val UpdateIfExists = "upd"
+  /** series wipe marker (MOR delta files only): kills every row of the
+    * conversation whose commit seq is LOWER than the wipe's; same-commit
+    * actions already respect the wipe (netActions filters events at or
+    * before it), so they carry the same seq and survive. */
+  val Wipe = "wipe"
 }

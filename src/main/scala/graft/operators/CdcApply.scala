@@ -4,14 +4,22 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructType, LongType, IntegerType}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
 
-import graft.model.MergeSpec
-import graft.table.{IceLite, IceLiteTable, SchemaEvolution}
+import graft.model.{MergeSpec, NetAction}
+import graft.table.{IceLite, IceLiteTable, MorRead, SchemaEvolution}
 
 /** Applies one batch (micro-batch or whole-log replay) of change events to
   * an IceLite transcripts table: validate → evolve schema → per-key fold →
-  * bucket-pruned copy-on-write merge → atomic snapshot commit.
+  * then either
+  *  - "mor" (default): APPEND the folded net actions as per-bucket delta
+  *    files — O(changes) per commit, the reference's row-level-DML cost
+  *    shape (`/root/reference/src/main/java/io/confluent/connect/jdbc/sink/BufferedRecords.java:294-336`)
+  *    — folded into reads by [[graft.table.MorRead]], with amortized
+  *    compaction back to base files; or
+  *  - "cow": bucket-pruned copy-on-write rewrite of the affected buckets
+  *    (kept for read-heavy tables; O(touched state) per commit).
   *
   * This is the engine's equivalent of the reference's
   * `JdbcDbWriter.write(records)` + per-put JDBC transaction
@@ -20,6 +28,10 @@ import graft.table.{IceLite, IceLiteTable, SchemaEvolution}
   * at-least-once + DB transactions: the snapshot property
   * `epoch:<streamId>` records the last applied batch id; a re-delivered
   * epoch is a no-op (`AlreadyApplied`).
+  *
+  * The batch is read from its source exactly ONCE per epoch: the tagged
+  * batch is persisted (memory, spilling to disk) and every job of the
+  * epoch — planning aggregate, quarantine write, fold+write — reuses it.
   */
 object CdcApply {
 
@@ -31,6 +43,13 @@ object CdcApply {
       rejected: Long)
 
   private final case class AlreadyApplied(epoch: Long) extends Exception(s"epoch $epoch already applied")
+
+  /** Above this many series tombstones in one batch, the wipe set is no
+    * longer broadcast into the fold/merge (a bulk GDPR-delete batch would
+    * otherwise be a driver/executor memory hazard); the joins fall back
+    * to shuffles and AQE still broadcasts if the aggregate turns out small.
+    */
+  val WipeBroadcastMax: Long = 100000L
 
   /** Write options applied to every data file: zstd + a bloom filter on
     * conv_id (reference analogue: PG bloom index,
@@ -48,7 +67,10 @@ object CdcApply {
     *
     * @param epoch   (streamId, batchId) for exactly-once; None = ad-hoc batch
     * @param rejectedDir  where quarantined invalid records go (with _error
-    *                     + lineage), the errant-record-reporter analogue
+    *                     + lineage), the errant-record-reporter analogue.
+    *                     Epoch-tagged batches overwrite their own epoch
+    *                     partition on re-delivery (idempotent); ad-hoc
+    *                     batches append (at-least-once).
     */
   def applyBatch(
       spark: SparkSession,
@@ -59,17 +81,19 @@ object CdcApply {
       rejectedDir: Option[String] = None): BatchResult = {
 
     val snap0 = table.current
-    // Fast idempotence check (re-checked inside the commit CAS).
+    // Fast idempotence check (re-checked inside the commit CAS). A batch
+    // id BELOW the high-water mark normally means re-delivery of an
+    // already-committed epoch (no-op by contract); it can also mean a
+    // deleted/reset checkpoint reused against an existing table with the
+    // same streamId — reprocessing requires a NEW streamId, so warn.
     epoch.foreach { case (sid, bid) =>
-      if (lastEpoch(snap0, sid).exists(_ >= bid))
-        return BatchResult(snap0, skipped = true, 0L, 0L, 0L)
-    }
-
-    val vb = MergeEngine.validate(events, spec.deleteEnabled)
-    rejectedDir.foreach { d =>
-      vb.rejected
-        .withColumn("_rejected_at_epoch", lit(epoch.map(_._2).getOrElse(-1L)))
-        .write.mode("append").parquet(d)
+      lastEpoch(snap0, sid).foreach { last =>
+        if (last > bid)
+          System.err.println(s"[graft] WARN epoch $bid for stream '$sid' is below the " +
+            s"committed high-water mark $last — skipping. If this is a checkpoint reset " +
+            s"meant to REPROCESS, use a new streamId (epochs are keyed by streamId).")
+        if (last >= bid) return BatchResult(snap0, skipped = true, 0L, 0L, 0L)
+      }
     }
 
     // --- schema evolution (ALTER-ADD semantics, SchemaEvolution rules) ---
@@ -86,74 +110,200 @@ object CdcApply {
         org.apache.spark.sql.types.StructField("_partition", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("_offset", org.apache.spark.sql.types.LongType)))
 
-    val valid = vb.valid
+    // The batch is scanned from its source once; all subsequent jobs of
+    // this epoch read the persisted tagged form.
+    val tagged = MergeEngine.tagErrors(events, spec.deleteEnabled).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // --- ONE planning aggregate over the batch (materializes the
+      // cache): per-log-partition lineage (offsets advance past errant
+      // records — quarantined, not retried, `.../sink/JdbcSinkTaskTest.java:324-492`),
+      // volume + rejection + series-tombstone counts, and the
+      // touched-bucket set (every action's conv_id comes from some batch
+      // event, so the batch's distinct buckets are exactly the affected
+      // set — no fold needed for planning).
+      val isWipe = col("op") === "delete" && col("turn_idx").isNull && col("_error").isNull
+      val lineage = tagged.groupBy("partition")
+        .agg(
+          max("offset").as("max_off"),
+          count(lit(1)).as("n"),
+          sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"),
+          sum(when(isWipe, 1L).otherwise(0L)).as("n_wipes"),
+          collect_set(when(col("_error").isNull,
+            MergeEngine.bucketOf(col("conv_id"), table.numBuckets))).as("buckets"))
+        .collect()
+      val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
+      val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
+      val nWipeEvents = lineage.map(_.getAs[Long]("n_wipes")).sum
+      val touched = lineage.flatMap(_.getAs[scala.collection.Seq[Int]]("buckets")).toSet
 
-    // --- ONE planning job over the batch: per-log-partition lineage
-    // (offsets advance past errant records — quarantined, not retried,
-    // `.../sink/JdbcSinkTaskTest.java:324-492`), volume + rejection
-    // counts, the touched-bucket set (every action's conv_id comes from
-    // some batch event, so the batch's distinct buckets are exactly the
-    // affected set — no fold needed for planning), and the series-wipe
-    // pairs (tombstones are rare; collecting them here makes the wipe set
-    // a driver-local relation instead of two broadcast-subquery re-scans
-    // of the batch inside the merge plan).
-    val isWipe = col("op") === "delete" && col("turn_idx").isNull && col("_error").isNull
-    val lineage = MergeEngine.tagErrors(events, spec.deleteEnabled).groupBy("partition")
-      .agg(
-        max("offset").as("max_off"),
-        count(lit(1)).as("n"),
-        sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"),
-        collect_set(when(col("_error").isNull,
-          MergeEngine.bucketOf(col("conv_id"), table.numBuckets))).as("buckets"),
-        collect_list(when(isWipe, struct(col("conv_id"), col("offset")))).as("wipe_pairs"))
-      .collect()
-    val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
-    val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
-    val touched = lineage.flatMap(_.getAs[scala.collection.Seq[Int]]("buckets")).toSet
+      if (rejectedCount > 0) rejectedDir.foreach { d =>
+        val rej = tagged.filter(col("_error").isNotNull)
+          .withColumn("_rejected_at_epoch", lit(epoch.map(_._2).getOrElse(-1L)))
+        epoch match {
+          case Some(_) =>
+            // dynamic partition overwrite: a re-run of the same epoch
+            // (crash between quarantine and commit) replaces its own
+            // partition instead of duplicating rows
+            rej.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_rejected_at_epoch").parquet(d)
+          case None =>
+            rej.write.mode("append")
+              .partitionBy("_rejected_at_epoch").parquet(d)
+        }
+      }
 
-    // series wipes: max tombstone offset per conversation (driver-side
-    // reduce of the collected pairs; bounded by tombstone volume per batch)
-    val wipeMap = lineage
-      .flatMap(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("wipe_pairs"))
-      .groupBy(_.getString(0))
-      .map { case (c, rs) => (c, rs.map(_.getLong(1)).max) }
-    val wipes = spark.createDataFrame(
-      wipeMap.toSeq.map { case (c, o) => org.apache.spark.sql.Row(c, o) }.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
+      val valid = tagged.filter(col("_error").isNull).drop("_error")
 
-    // --- per-key fold (computed once, consumed lazily by the merge) ---
-    val actions =
-      if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
-      else MergeEngine.netActionsViaJoin(valid, wipes)
+      // series wipes: distributed aggregate over the cached batch —
+      // never collected to the driver; broadcast into the fold/merge only
+      // below the bulk-delete threshold.
+      val wipes0 = MergeEngine.seriesWipes(valid)
+      val wipes = if (nWipeEvents <= WipeBroadcastMax) broadcast(wipes0) else wipes0
 
-    // Normalize action rows to the (possibly evolved) table schema:
-    // missing columns → null, narrower types → up-cast.
-    val rowFields = actions.schema("row").dataType.asInstanceOf[StructType].fieldNames.toSet
-    val normRow = struct(evolved.fields.toSeq.map { f =>
-      (f.name match {
-        case "_partition" if spec.coordinates => col("src_partition").cast(f.dataType)
-        case "_offset" if spec.coordinates    => col("src_offset").cast(f.dataType)
-        case n if rowFields.contains(n)       => col(s"row.$n").cast(f.dataType)
-        case _                                => lit(null).cast(f.dataType)
-      }).as(f.name)
-    }: _*)
-    val normActions = actions.withColumn("row", normRow)
+      // --- per-key fold (computed once, consumed lazily by the write) ---
+      val actions =
+        if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
+        else MergeEngine.netActionsViaJoin(valid, wipes)
 
-    if (touched.isEmpty) {
-      // Nothing to merge (e.g. all events invalid) — still commit the
-      // epoch marker so re-delivery stays a no-op.
-      val snap = commitSnapshot(table, Map.empty, touched, evolved, epoch, lineage, 0L, eventsSeen, rejectedCount)
-      return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
-    }
+      // Normalize action rows to the (possibly evolved) table schema:
+      // missing columns → null, narrower types → up-cast.
+      val rowFields = actions.schema("row").dataType.asInstanceOf[StructType].fieldNames.toSet
+      val normRow = struct(evolved.fields.toSeq.map { f =>
+        (f.name match {
+          case "_partition" if spec.coordinates => col("src_partition").cast(f.dataType)
+          case "_offset" if spec.coordinates    => col("src_offset").cast(f.dataType)
+          case n if rowFields.contains(n)       => col(s"row.$n").cast(f.dataType)
+          case _                                => lit(null).cast(f.dataType)
+        }).as(f.name)
+      }: _*)
+      val normActions = actions.withColumn("row", normRow)
 
-    // --- copy-on-write merge of affected buckets ---
+      if (touched.isEmpty) {
+        // Nothing to merge (e.g. all events invalid) — still commit the
+        // epoch marker so re-delivery stays a no-op.
+        val snap = commitSnapshot(table, Map.empty, touched, evolved, epoch, lineage, 0L, eventsSeen, rejectedCount)
+        return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
+      }
+
+      val result = spec.mergeStrategy match {
+        case "mor" =>
+          applyMor(spark, table, snap0, normActions, wipes0, evolved, epoch, lineage,
+            eventsSeen, rejectedCount)
+        case _ =>
+          applyCow(spark, table, normActions, wipes, touched, evolved, spec, epoch, lineage,
+            eventsSeen, rejectedCount)
+      }
+      // amortized copy-on-write moment: fold delta-heavy buckets back to
+      // base files (bounds read-time merge work; per-batch write cost
+      // stays O(changes + state/threshold) amortized)
+      if (spec.mergeStrategy == "mor" && spec.morCompactThreshold > 0)
+        table.compactDeltas(spark, spec.morCompactThreshold)
+      result
+    } finally tagged.unpersist()
+  }
+
+  /** Merge-on-read write: net actions + wipe markers land as delta files
+    * partitioned by bucket, sequenced by the committing snapshot version.
+    */
+  private def applyMor(
+      spark: SparkSession,
+      table: IceLiteTable,
+      snap0: IceLite.Snapshot,
+      normActions: DataFrame,
+      wipes: DataFrame,
+      evolved: StructType,
+      epoch: Option[(String, Long)],
+      lineage: Array[org.apache.spark.sql.Row],
+      eventsSeen: Long,
+      rejectedCount: Long): BatchResult = {
+
+    // single-writer sequence: rows are stamped before the commit, so a
+    // racing writer (which would steal this version) aborts the commit
+    val seq = snap0.version + 1
+
+    val wipeRows = wipes.select(
+      col("conv_id"),
+      lit(null).cast("int").as("turn_idx"),
+      lit(NetAction.Wipe).as("action"),
+      lit(null).cast(evolved).as("row"),
+      col("wipe_off").as("src_offset"),
+      lit(null).cast("int").as("src_partition"))
+    val deltaRows = normActions
+      .select(col("conv_id"), col("turn_idx"), col("action"), col("row"),
+        col("src_offset"), col("src_partition"))
+      .unionByName(wipeRows)
+      .withColumn("seq", lit(seq))
+      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+
+    val stage = table.newStageDir()
+    deltaRows
+      .hint("rebalance", "bucket") // AQE splits hot buckets, coalesces cold
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite").options(writeOptions)
+      .partitionBy("bucket")
+      .parquet(stage.toString)
+
+    val staged = table.stagedFilesByBucket(stage)
+    val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
+
+    val snap =
+      try {
+        table.commit { parent =>
+          epoch.foreach { case (sid, bid) =>
+            if (lastEpoch(parent, sid).exists(_ >= bid)) throw AlreadyApplied(bid)
+          }
+          if (parent.version != snap0.version || parent.lastDeltaSeq >= seq)
+            throw new IllegalStateException(
+              s"MOR commit raced on ${table.dir}: staged seq $seq vs parent " +
+                s"version ${parent.version} (lastDeltaSeq ${parent.lastDeltaSeq}). " +
+                "The MOR path is single-writer per table — re-apply the batch.")
+          parent.copy(
+            schemaJson = evolved.json,
+            deltas = parent.deltas ++ staged.map { case (b, fs) =>
+              b -> (parent.deltas.getOrElse(b, Seq.empty) ++ fs)
+            },
+            lastDeltaSeq = seq,
+            properties = parent.properties ++ offsetProps(parent, lineage) ++ epochProps(epoch),
+            metrics = Map(
+              "rowsWritten" -> rowsWritten,
+              "deltaFilesAdded" -> staged.values.map(_.size.toLong).sum,
+              "eventsApplied" -> eventsSeen,
+              "rejected" -> rejectedCount))
+        }
+      } catch {
+        case AlreadyApplied(_) => return BatchResult(table.current, skipped = true, 0L, 0L, 0L)
+      }
+    BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
+  }
+
+  /** Copy-on-write merge of affected buckets (pre-MOR default, kept for
+    * read-heavy tables): fold output is joined against the bucket's base
+    * rows and the bucket content is rewritten.
+    */
+  private def applyCow(
+      spark: SparkSession,
+      table: IceLiteTable,
+      normActions: DataFrame,
+      wipes: DataFrame,
+      touched: Set[Int],
+      evolved: StructType,
+      spec: MergeSpec,
+      epoch: Option[(String, Long)],
+      lineage: Array[org.apache.spark.sql.Row],
+      eventsSeen: Long,
+      rejectedCount: Long): BatchResult = {
+
+    // COW applies on top of the CURRENT state: any outstanding MOR deltas
+    // of the touched buckets are folded in first (strategy hand-off).
     val base = {
       val files = table.dataFiles(Some(touched))
-      if (files.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
-      else spark.read.schema(evolved).parquet(files: _*)
+      val b =
+        if (files.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
+        else spark.read.schema(evolved).parquet(files: _*)
+      val deltaPaths = table.deltaFiles(Some(touched))
+      if (deltaPaths.isEmpty) b else MorRead.merged(spark, evolved, b, deltaPaths)
     }
     val merged = MergeEngine.merge(base, normActions, wipes)
 
@@ -189,8 +339,7 @@ object CdcApply {
   }
 
   /** Sum of row counts from parquet footers (driver-side metadata reads). */
-  private def footerRowCount(spark: SparkSession, paths: Iterable[String]): Long = {
-    import scala.jdk.CollectionConverters._
+  private[operators] def footerRowCount(spark: SparkSession, paths: Iterable[String]): Long = {
     val conf = spark.sessionState.newHadoopConf()
     paths.map { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -203,6 +352,16 @@ object CdcApply {
 
   private def lastEpoch(s: IceLite.Snapshot, streamId: String): Option[Long] =
     s.properties.get(s"epoch:$streamId").map(_.toLong)
+
+  private def offsetProps(parent: IceLite.Snapshot, lineage: Array[org.apache.spark.sql.Row]): Map[String, String] =
+    lineage.map { r =>
+      val p = r.getAs[Int]("partition")
+      val prev = parent.properties.get(s"maxoff:$p").map(_.toLong).getOrElse(Long.MinValue)
+      s"maxoff:$p" -> math.max(prev, r.getAs[Long]("max_off")).toString
+    }.toMap
+
+  private def epochProps(epoch: Option[(String, Long)]): Map[String, String] =
+    epoch.map { case (sid, bid) => s"epoch:$sid" -> bid.toString }.toMap
 
   private def commitSnapshot(
       table: IceLiteTable,
@@ -223,16 +382,12 @@ object CdcApply {
           staged ++
           // a touched bucket whose merge produced no rows becomes empty
           (touched -- staged.keySet).map(_ -> Seq.empty[String]).toMap
-        val offsetProps = lineage.map { r =>
-          val p = r.getAs[Int]("partition")
-          val prev = parent.properties.get(s"maxoff:$p").map(_.toLong).getOrElse(Long.MinValue)
-          s"maxoff:$p" -> math.max(prev, r.getAs[Long]("max_off")).toString
-        }.toMap
-        val epochProps = epoch.map { case (sid, bid) => s"epoch:$sid" -> bid.toString }.toMap
         parent.copy(
           schemaJson = evolved.json,
           files = newFiles.filter(_._2.nonEmpty),
-          properties = parent.properties ++ offsetProps ++ epochProps,
+          // the COW rewrite folded any outstanding deltas of these buckets
+          deltas = (parent.deltas -- touched.toSeq).filter(_._2.nonEmpty),
+          properties = parent.properties ++ offsetProps(parent, lineage) ++ epochProps(epoch),
           metrics = Map(
             "rowsWritten" -> rowsWritten,
             "bucketsRewritten" -> touched.size.toLong,

@@ -64,12 +64,8 @@ object EventLogApply {
       .parquet(stage.toString)
 
     val staged = table.stagedFilesByBucket(stage)
-    val rowsWritten = staged.values.flatten.size match {
-      case 0 => 0L
-      case _ =>
-        // footer-only count, driver-side
-        spark.read.parquet(staged.values.flatten.map(r => s"${table.dir}/$r").toSeq: _*).count()
-    }
+    // footer-only count, driver-side — no Spark job in the append path
+    val rowsWritten = CdcApply.footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
 
     object AlreadyApplied extends Exception
     try {

@@ -38,12 +38,12 @@ import graft.model.NetAction
   */
 object MergeEngine {
 
-  /** Physical bucket of a conversation — must match the IceLite layout
-    * (reference analogue: hash partitioning DDL, `distributionattributes`,
-    * `.../dialect/PostgreSqlDatabaseDialect.java:208-232`).
+  /** Physical bucket of a conversation — delegates to the IceLite layout
+    * definition (reference analogue: hash partitioning DDL,
+    * `distributionattributes`, `.../dialect/PostgreSqlDatabaseDialect.java:208-232`).
     */
   def bucketOf(convId: Column, numBuckets: Int): Column =
-    pmod(xxhash64(convId), lit(numBuckets.toLong)).cast("int")
+    graft.table.IceLite.bucketOf(convId, numBuckets)
 
   /** Columns of the transcript row struct, in table order. */
   val turnCols: Seq[String] = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -104,13 +104,17 @@ object MergeEngine {
     * Output: (conv_id, turn_idx, action, row struct) — one row per touched key.
     */
   def netActions(events: DataFrame): DataFrame =
-    netActions(events, seriesWipes(events))
+    netActions(events, broadcast(seriesWipes(events)))
 
-  /** As above, with a pre-computed (possibly cached) wipe set. */
+  /** As above, with a pre-computed (possibly cached) wipe set. The caller
+    * decides whether to broadcast it (CdcApply does, below its bulk-delete
+    * threshold); an unhinted wipe set joins by shuffle, and AQE still
+    * broadcasts it at runtime if it is actually small.
+    */
   def netActions(events: DataFrame, wipes: DataFrame): DataFrame = {
     val turnEvents = events
       .filter(col("turn_idx").isNotNull)
-      .join(broadcast(wipes), Seq("conv_id"), "left")
+      .join(wipes, Seq("conv_id"), "left")
       .filter(col("offset") > coalesce(col("wipe_off"), lit(Long.MinValue)))
 
     val isUpd = col("op") === "update"
@@ -160,7 +164,7 @@ object MergeEngine {
   def netActionsViaJoin(events: DataFrame, wipes: DataFrame): DataFrame = {
     val turnEvents = events
       .filter(col("turn_idx").isNotNull)
-      .join(broadcast(wipes), Seq("conv_id"), "left")
+      .join(wipes, Seq("conv_id"), "left")
       .filter(col("offset") > coalesce(col("wipe_off"), lit(Long.MinValue)))
 
     val isUpd = col("op") === "update"
@@ -217,7 +221,8 @@ object MergeEngine {
     * content of those buckets.
     *
     * Join shape: full-outer on the upsert key (both sides shuffled on the
-    * same key — AQE handles residual skew), wipes broadcast (tiny).
+    * same key — AQE handles residual skew); the wipe set keeps whatever
+    * broadcast/shuffle hint the caller attached.
     */
   def merge(base: DataFrame, actions: DataFrame, wipes: DataFrame): DataFrame = {
     val key = Seq("conv_id", "turn_idx")
@@ -228,7 +233,7 @@ object MergeEngine {
     val a = actions
       .withColumnRenamed("row", "_row")
       .hint("shuffle_hash")
-    val w = broadcast(wipes.select(col("conv_id"), lit(true).as("_wiped")))
+    val w = wipes.select(col("conv_id"), lit(true).as("_wiped"))
 
     val rowCol = (name: String) =>
       if (key.contains(name)) col(name) else col(s"_row.$name")

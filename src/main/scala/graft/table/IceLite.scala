@@ -43,14 +43,21 @@ final class IceLiteTable(val dir: String) {
   def currentVersion: Long =
     listSnapshotVersions.lastOption.getOrElse(0L)
 
+  // Files.list/Files.walk hold a directory fd until closed — a long-running
+  // streaming driver calls currentVersion every epoch, so leaking them to GC
+  // would exhaust the fd limit (EMFILE). Always materialize-then-close.
+  private def listDir[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator.asScala) finally s.close()
+  }
+
   private def listSnapshotVersions: Seq[Long] =
     if (!Files.isDirectory(snapDir)) Seq.empty
     else
-      Files.list(snapDir).iterator.asScala
-        .map(_.getFileName.toString)
+      listDir(snapDir)(_.map(_.getFileName.toString)
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-        .toSeq.sorted
+        .toSeq).sorted
 
   def snapshot(version: Long): Snapshot =
     readSnapshot(snapDir.resolve(f"v$version%010d.json"))
@@ -62,27 +69,46 @@ final class IceLiteTable(val dir: String) {
 
   def numBuckets: Int = current.numBuckets
 
-  /** All data files (absolute paths) of the current snapshot, optionally
-    * restricted to a bucket subset — this is the bucket-pruning path.
+  /** All base data files (absolute paths) of the current snapshot,
+    * optionally restricted to a bucket subset — the bucket-pruning path.
     */
-  def dataFiles(buckets: Option[Set[Int]] = None): Seq[String] = {
-    val s = current
-    s.files.toSeq
+  def dataFiles(buckets: Option[Set[Int]] = None): Seq[String] =
+    resolve(current.files, buckets)
+
+  /** MOR delta files (absolute paths), optionally bucket-pruned. */
+  def deltaFiles(buckets: Option[Set[Int]] = None): Seq[String] =
+    resolve(current.deltas, buckets)
+
+  private def resolve(m: Map[Int, Seq[String]], buckets: Option[Set[Int]]): Seq[String] =
+    m.toSeq
       .filter { case (b, _) => buckets.forall(_.contains(b)) }
       .flatMap(_._2)
       .map(rel => Paths.get(dir).resolve(rel).toString)
-  }
 
-  /** Read the table (or a bucket subset) with the current table schema —
-    * older files missing later-added columns surface them as nulls
-    * (ALTER-ADD semantics for free from the parquet reader).
+  /** Read the table's current STATE (or a bucket subset): base files with
+    * the current table schema — older files missing later-added columns
+    * surface them as nulls (ALTER-ADD semantics for free from the parquet
+    * reader) — merged at read time with any outstanding MOR delta files
+    * (see [[MorRead.merged]]; a no-op pass-through when there are none).
     */
   def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+    val s = current
+    val base = readBase(spark, buckets)
+    val deltaPaths = resolve(s.deltas, buckets)
+    if (deltaPaths.isEmpty) base
+    else MorRead.merged(spark, schemaOf(s), base, deltaPaths)
+  }
+
+  /** Base files only — MOR deltas NOT applied (compaction + COW internals). */
+  def readBase(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
     val files = dataFiles(buckets)
     val sch = schema
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     else spark.read.schema(sch).parquet(files: _*)
   }
+
+  private def schemaOf(s: Snapshot): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
 
   /** Fresh unique staging directory for one commit's data files. */
   def newStageDir(): Path = {
@@ -97,17 +123,15 @@ final class IceLiteTable(val dir: String) {
   def stagedFilesByBucket(stage: Path): Map[Int, Seq[String]] =
     if (!Files.isDirectory(stage)) Map.empty
     else
-      Files.list(stage).iterator.asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
+      listDir(stage)(_.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
         .map { bdir =>
           val b = bdir.getFileName.toString.stripPrefix("bucket=").toInt
-          val fs = Files.list(bdir).iterator.asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
+          val fs = listDir(bdir)(_.filter(_.getFileName.toString.endsWith(".parquet"))
             .map(p => Paths.get(dir).relativize(p).toString)
-            .toSeq.sorted
+            .toSeq).sorted
           b -> fs
         }
-        .toMap
+        .toMap)
 
   /** Expire snapshots older than the last `keepLast`, then delete data
     * files no longer referenced by any surviving snapshot (orphan GC —
@@ -116,18 +140,23 @@ final class IceLiteTable(val dir: String) {
     * are unaffected: expiry never touches referenced files.
     */
   def expireSnapshots(keepLast: Int = 2): (Int, Int) = {
+    def refs(s: Snapshot): Iterable[String] = s.files.values.flatten ++ s.deltas.values.flatten
     val versions = listSnapshotVersions
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
-    val live: Set[String] = keep.flatMap(v => snapshot(v).files.values.flatten).toSet
-    val dead = drop.flatMap(v => snapshot(v).files.values.flatten).toSet -- live
+    val live: Set[String] = keep.flatMap(v => refs(snapshot(v))).toSet
+    val dead = drop.flatMap(v => refs(snapshot(v))).toSet -- live
     dead.foreach(rel => Files.deleteIfExists(Paths.get(dir).resolve(rel)))
     drop.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%010d.json")))
     // sweep now-empty commit dirs
     if (Files.isDirectory(dataDir))
-      Files.list(dataDir).iterator.asScala.filter(Files.isDirectory(_)).foreach { d =>
-        val empty = !Files.list(d).iterator.asScala.exists(p =>
-          Files.isDirectory(p) && Files.list(p).iterator.asScala.nonEmpty)
-        if (empty) { Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)) }
+      listDir(dataDir)(_.filter(Files.isDirectory(_)).toSeq).foreach { d =>
+        val empty = !listDir(d)(_.exists(p =>
+          Files.isDirectory(p) && listDir(p)(_.nonEmpty)))
+        if (empty) {
+          val w = Files.walk(d)
+          try w.iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+        }
       }
     (drop.size, dead.size)
   }
@@ -166,6 +195,44 @@ final class IceLiteTable(val dir: String) {
     fragmented.size
   }
 
+  /** Fold outstanding MOR delta files back into base files for every
+    * bucket holding more than `maxDeltasPerBucket` of them — the
+    * copy-on-write moment, amortized (Iceberg's rewrite_data_files +
+    * delete-file removal). Returns the number of buckets compacted.
+    */
+  def compactDeltas(spark: SparkSession, maxDeltasPerBucket: Int = 0): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = current
+    val targets = cur.deltas.filter(_._2.size > maxDeltasPerBucket).keys.toSet
+    if (targets.isEmpty) return 0
+    val sch = schemaOf(cur)
+    val merged = MorRead.merged(spark, sch,
+      readBase(spark, Some(targets)), resolve(cur.deltas, Some(targets)))
+    val stage = newStageDir()
+    merged
+      .withColumn("bucket", IceLite.bucketOf(col("conv_id"), cur.numBuckets))
+      .hint("rebalance", "bucket")
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#conv_id", "true")
+      .partitionBy("bucket")
+      .parquet(stage.toString)
+    val staged = stagedFilesByBucket(stage)
+    commit { parent =>
+      // replace a bucket only if no concurrent commit changed it since we
+      // read `cur` — otherwise we would drop newer base or delta files
+      val safe = targets.filter { b =>
+        parent.files.get(b) == cur.files.get(b) && parent.deltas.get(b) == cur.deltas.get(b)
+      }
+      parent.copy(
+        files = (parent.files -- safe) ++ staged.filter(kv => safe(kv._1)),
+        deltas = parent.deltas -- safe,
+        metrics = Map("bucketsCompacted" -> safe.size.toLong))
+    }
+    targets.size
+  }
+
   /** CAS commit: build the child snapshot from the freshly-read current
     * one, publish as version+1 via atomic create-if-absent. Retries on
     * losing a race (another writer published first).
@@ -201,11 +268,29 @@ final class IceLiteTable(val dir: String) {
 
 object IceLite {
 
+  /** Physical bucket of a conversation — the table's hash-distribution
+    * layout (reference analogue: `PARTITION BY HASH` DDL,
+    * `.../dialect/PostgreSqlDatabaseDialect.java:208-232`).
+    */
+  def bucketOf(convId: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(convId), lit(numBuckets.toLong)).cast("int")
+  }
+
   /** One immutable snapshot of the table. `files` maps bucket id to
     * table-relative parquet paths; `properties` is free-form commit
     * bookkeeping (exactly-once epochs, applied offset ranges);
     * `metrics` are per-commit counters (rows written/deleted, buckets
     * rewritten) — the engine's lineage/metrics surface.
+    *
+    * `deltas` (merge-on-read) maps bucket id to net-action delta files
+    * (Iceberg's equality-delete/MOR analogue): each MOR commit appends
+    * O(changes) delta files instead of rewriting bucket state; readers
+    * fold base ∪ deltas (see [[MorRead]]); compaction folds them back
+    * into plain base files. Every row in a delta file carries the commit
+    * sequence number `seq` (== the snapshot version that added it);
+    * `lastDeltaSeq` is the high-water mark, enforced monotonic at commit
+    * (single-writer guard: a racing MOR commit with a stale seq aborts).
     */
   final case class Snapshot(
       version: Long,
@@ -214,7 +299,9 @@ object IceLite {
       numBuckets: Int,
       files: Map[Int, Seq[String]],
       properties: Map[String, String],
-      metrics: Map[String, Long])
+      metrics: Map[String, Long],
+      deltas: Map[Int, Seq[String]] = Map.empty,
+      lastDeltaSeq: Long = 0L)
 
   private val mapper = new ObjectMapper()
 
@@ -229,6 +316,12 @@ object IceLite {
       val arr = files.putArray(b.toString)
       fs.foreach(arr.add)
     }
+    val deltas = root.putObject("deltas")
+    s.deltas.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      val arr = deltas.putArray(b.toString)
+      fs.foreach(arr.add)
+    }
+    root.put("lastDeltaSeq", s.lastDeltaSeq)
     val props = root.putObject("properties")
     s.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     val mets = root.putObject("metrics")
@@ -251,7 +344,14 @@ object IceLite {
         k.toInt -> v.elements().asScala.map(_.asText()).toSeq
       }.toMap,
       properties = objFields("properties").map { case (k, v) => k -> v.asText() }.toMap,
-      metrics = objFields("metrics").map { case (k, v) => k -> v.asLong() }.toMap)
+      metrics = objFields("metrics").map { case (k, v) => k -> v.asLong() }.toMap,
+      // absent in pre-MOR snapshots — default empty (backward-compatible)
+      deltas =
+        if (root.get("deltas") == null) Map.empty
+        else objFields("deltas").map { case (k, v) =>
+          k.toInt -> v.elements().asScala.map(_.asText()).toSeq
+        }.toMap,
+      lastDeltaSeq = Option(root.get("lastDeltaSeq")).map(_.asLong()).getOrElse(0L))
   }
 
   /** Create an empty table (snapshot v1, no files). */

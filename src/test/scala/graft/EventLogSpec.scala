@@ -52,9 +52,13 @@ class EventLogSpec extends SparkSuite {
   test("expireSnapshots deletes old snapshots and orphaned data files only") {
     val dir = tmpDir("expire") + "/t"
     val t = IceLite.create(dir, TestHelpers.turnSchema, 4)
+    // cow: each batch rewrites the bucket, orphaning the previous files —
+    // the expiry behavior under test (mor snapshots reference deltas
+    // cumulatively, so nothing orphans until compaction)
     (0 until 4).foreach { i =>
       graft.operators.CdcApply.applyBatch(spark, t,
-        eventsDF(spark, Seq(ins(i.toLong, "c1", i, s"v$i"))), epoch = Some(("q", i.toLong)))
+        eventsDF(spark, Seq(ins(i.toLong, "c1", i, s"v$i"))), epoch = Some(("q", i.toLong)),
+        spec = graft.model.MergeSpec(mergeStrategy = "cow"))
     }
     val rowsBefore = readTable(spark, t)
     val vBefore = t.currentVersion

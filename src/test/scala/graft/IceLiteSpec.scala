@@ -93,14 +93,27 @@ class IceLiteSpec extends SparkSuite {
     assert(res.isLeft && res.swap.toOption.get.contains("strict_col"))
   }
 
-  test("bucket pruning reads only the target bucket's files") {
+  test("bucket pruning reads only the target bucket's files (cow base files)") {
     val dir = tmpDir("icelite-prune") + "/t"
     val t = IceLite.create(dir, turnSchema, 8)
     val evs = (0 until 64).map(i => ins(i.toLong, f"c$i%02d", 0, s"row$i"))
-    CdcApply.applyBatch(spark, t, eventsDF(spark, evs))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, evs), spec = graft.model.MergeSpec(mergeStrategy = "cow"))
     val b = spark.range(1).select(MergeEngine.bucketOf(lit("c07"), 8)).collect()(0).getInt(0)
     val prunedFiles = t.dataFiles(Some(Set(b)))
     assert(prunedFiles.size < t.dataFiles().size)
+    val got = t.read(spark, Some(Set(b))).filter(col("conv_id") === "c07").count()
+    assert(got == 1)
+  }
+
+  test("bucket pruning reads only the target bucket's delta files (mor)") {
+    val dir = tmpDir("icelite-prune-mor") + "/t"
+    val t = IceLite.create(dir, turnSchema, 8)
+    val evs = (0 until 64).map(i => ins(i.toLong, f"c$i%02d", 0, s"row$i"))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, evs),
+      spec = graft.model.MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1000))
+    assert(t.dataFiles().isEmpty, "mor apply must not rewrite base files")
+    val b = spark.range(1).select(MergeEngine.bucketOf(lit("c07"), 8)).collect()(0).getInt(0)
+    assert(t.deltaFiles(Some(Set(b))).size < t.deltaFiles().size)
     val got = t.read(spark, Some(Set(b))).filter(col("conv_id") === "c07").count()
     assert(got == 1)
   }

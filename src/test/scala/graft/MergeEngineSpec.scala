@@ -15,9 +15,12 @@ class MergeEngineSpec extends SparkSuite {
   import TestHelpers._
 
   private def check(batches: Seq[Seq[ChangeEvent]], clue: String): Unit = {
-    val got = engineReplay(spark, batches)
     val want = OracleFold.rows(OracleFold.finalState(batches.flatten))
-    assert(got == want, s"[$clue] engine != oracle\nengine: $got\noracle: $want")
+    TestHelpers.bothStrategies.foreach { spec =>
+      val got = engineReplay(spark, batches, spec = spec)
+      assert(got == want,
+        s"[$clue / ${spec.mergeStrategy}@${spec.morCompactThreshold}] engine != oracle\nengine: $got\noracle: $want")
+    }
   }
 
   test("upsert replay: last surviving version per key (JdbcDbWriterTest:1573-1770)") {
@@ -154,10 +157,18 @@ object TestHelpers {
   def engineReplay(
       spark: SparkSession,
       batches: Seq[Seq[ChangeEvent]],
-      numBuckets: Int = 8): Seq[TranscriptTurn] = {
+      numBuckets: Int = 8,
+      spec: MergeSpec = MergeSpec()): Seq[TranscriptTurn] = {
     val dir = java.nio.file.Files.createTempDirectory("engine-replay").toString
     val table = IceLite.create(s"$dir/t", turnSchema, numBuckets)
-    batches.foreach { b => CdcApply.applyBatch(spark, table, eventsDF(spark, b)) }
+    batches.foreach { b => CdcApply.applyBatch(spark, table, eventsDF(spark, b), spec = spec) }
     readTable(spark, table)
   }
+
+  /** Both merge strategies must produce the oracle state. */
+  val bothStrategies: Seq[MergeSpec] = Seq(
+    MergeSpec(mergeStrategy = "mor"),
+    // aggressive compaction: exercise the delta→base fold mid-replay
+    MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1),
+    MergeSpec(mergeStrategy = "cow"))
 }

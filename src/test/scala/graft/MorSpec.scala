@@ -1,0 +1,108 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.model.MergeSpec
+import graft.operators.CdcApply
+import graft.table.IceLite
+
+/** Merge-on-read specifics beyond the strategy-parameterized equivalence
+  * suites: write-amplification shape (no base rewrites per batch),
+  * compaction bounds, cow↔mor hand-off, and bulk series-tombstone
+  * batches staying distributed (no driver-side wipe collection).
+  */
+class MorSpec extends SparkSuite {
+  import TestHelpers._
+
+  private def randomLog(rnd: Random, n: Int, convs: Int, turns: Int) =
+    (0 until n).map { i =>
+      val off = i.toLong
+      val conv = f"c${rnd.nextInt(convs)}%03d"
+      val t = rnd.nextInt(turns)
+      rnd.nextInt(100) match {
+        case r if r < 60 => ins(off, conv, t, s"ins-$off")
+        case r if r < 75 => upd(off, conv, t, s"upd-$off")
+        case r if r < 90 => ups(off, conv, t, s"ups-$off")
+        case r if r < 97 => del(off, conv, Some(t))
+        case _           => del(off, conv, None)
+      }
+    }.toVector
+
+  test("mor batches append O(changes) deltas; base files untouched until compaction") {
+    val dir = tmpDir("mor-shape") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val log = randomLog(new Random(7), 300, 6, 5)
+    val spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1000)
+    log.grouped(100).zipWithIndex.foreach { case (b, i) =>
+      CdcApply.applyBatch(spark, t, eventsDF(spark, b), spec = spec, epoch = Some(("m", i.toLong)))
+      assert(t.dataFiles().isEmpty, s"batch $i rewrote base files under mor")
+    }
+    assert(t.deltaFiles().nonEmpty)
+    val want = OracleFold.rows(OracleFold.finalState(log))
+    assert(readTable(spark, t).map(x => (x.conv_id, x.turn_idx, x.text)) ==
+      want.map(x => (x.conv_id, x.turn_idx, x.text)))
+    // explicit compaction folds everything into base files; state unchanged
+    assert(t.compactDeltas(spark) > 0)
+    assert(t.deltaFiles().isEmpty && t.dataFiles().nonEmpty)
+    assert(readTable(spark, t).map(x => (x.conv_id, x.turn_idx, x.text)) ==
+      want.map(x => (x.conv_id, x.turn_idx, x.text)))
+  }
+
+  test("inline compaction keeps per-bucket delta counts bounded by the threshold") {
+    val dir = tmpDir("mor-bound") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val log = randomLog(new Random(11), 400, 8, 4)
+    val spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 2)
+    log.grouped(40).zipWithIndex.foreach { case (b, i) =>
+      CdcApply.applyBatch(spark, t, eventsDF(spark, b), spec = spec, epoch = Some(("b", i.toLong)))
+      t.current.deltas.foreach { case (bk, fs) =>
+        assert(fs.size <= spec.morCompactThreshold, s"bucket $bk has ${fs.size} deltas after batch $i")
+      }
+    }
+    val want = OracleFold.rows(OracleFold.finalState(log))
+    assert(readTable(spark, t).map(x => (x.conv_id, x.turn_idx, x.text)) ==
+      want.map(x => (x.conv_id, x.turn_idx, x.text)))
+  }
+
+  test("cow batch on top of outstanding mor deltas folds them (strategy hand-off)") {
+    val dir = tmpDir("mor-handoff") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val b1 = Seq(ins(0, "c1", 0, "v0"), ins(1, "c2", 0, "w0"), del(2, "c3", None))
+    val b2 = Seq(ups(3, "c1", 0, "v1"), upd(4, "c2", 0, "w1"), ins(5, "c3", 1, "z0"))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, b1),
+      spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1000))
+    assert(t.deltaFiles().nonEmpty)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, b2), spec = MergeSpec(mergeStrategy = "cow"))
+    // touched buckets lost their deltas (folded into the rewrite)
+    val want = OracleFold.rows(OracleFold.finalState(b1 ++ b2))
+    assert(readTable(spark, t) == want)
+    assert(t.deltaFiles().isEmpty, "cow rewrite must fold + clear the touched buckets' deltas")
+  }
+
+  test("bulk series-tombstone batch (150k wipes) stays distributed and applies correctly") {
+    val dir = tmpDir("mor-bulkwipe") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    // seed state: 200 conversations
+    val seedEvs = (0 until 200).map(i => ins(i.toLong, f"k$i%06d", 0, s"v$i"))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, seedEvs), epoch = Some(("w", 0L)))
+    // bulk GDPR-style delete: 150k series tombstones built distributed
+    // (over the wipe-broadcast threshold; wipes must never be collected
+    // to the driver — the pre-r2 collect_list formulation OOMed here)
+    assert(150000 > 0 && CdcApply.WipeBroadcastMax < 150000L)
+    val wipeBatch = spark.range(150000).select(
+      lit(0).as("partition"),
+      (col("id") + 1000L).as("offset"),
+      lit(new java.sql.Timestamp(1700000000000L)).as("ts"),
+      lit("delete").as("op"),
+      format_string("k%06d", col("id")).as("conv_id"),
+      lit(null).cast("int").as("turn_idx"),
+      lit(null).cast(eventsDF(spark, seedEvs).schema("after").dataType).as("after"),
+      lit(2).as("schema_v"))
+    val res = CdcApply.applyBatch(spark, t, wipeBatch, epoch = Some(("w", 1L)))
+    assert(!res.skipped && res.eventsSeen == 150000L)
+    // conversations k000000..k000199 all wiped
+    assert(t.read(spark).count() == 0)
+  }
+}

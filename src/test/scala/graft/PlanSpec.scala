@@ -57,7 +57,8 @@ class PlanSpec extends SparkSuite {
     val d = tmpDir("planspec") + "/t"
     val t = graft.table.IceLite.create(d, turnSchema, 16)
     val evs = (0 until 64).map(i => ins(i.toLong, f"c$i%02d", 0, s"v$i"))
-    graft.operators.CdcApply.applyBatch(spark, t, eventsDF(spark, evs))
+    graft.operators.CdcApply.applyBatch(spark, t, eventsDF(spark, evs),
+      spec = graft.model.MergeSpec(mergeStrategy = "cow"))
     val b = spark.range(1)
       .select(graft.operators.MergeEngine.bucketOf(lit("c07"), 16)).collect()(0).getInt(0)
     val pruned = t.read(spark, Some(Set(b)))

@@ -48,12 +48,14 @@ class ReplayEquivalenceSpec extends SparkSuite {
       rnd.shuffle(overlap ++ s)
     }
 
-    val got = engineReplay(spark, batches.map(_.toSeq))
     val want = OracleFold.rows(OracleFold.finalState(log))
-    assert(
-      got.map(t => (t.conv_id, t.turn_idx, t.text)) ==
-        want.map(t => (t.conv_id, t.turn_idx, t.text)),
-      s"seed=$seed n=$n convs=$convs turns=$turns batches=$nBatches")
+    TestHelpers.bothStrategies.foreach { spec =>
+      val got = engineReplay(spark, batches.map(_.toSeq), spec = spec)
+      assert(
+        got.map(t => (t.conv_id, t.turn_idx, t.text)) ==
+          want.map(t => (t.conv_id, t.turn_idx, t.text)),
+        s"seed=$seed n=$n convs=$convs turns=$turns batches=$nBatches strategy=${spec.mergeStrategy}@${spec.morCompactThreshold}")
+    }
   }
 
   test("random replay equals oracle (small, dense keyspace, 1 batch)") {
