@@ -30,14 +30,18 @@ object ProfileReplay {
     Bench.replay(spark, 500000L, 1, 128, warm)
     Bench.deleteRecursively(warm)
     val foldVariants = sys.env.getOrElse("PROF_FOLDS", "join,agg").split(",").map(_.trim)
+    val strategies = sys.env.getOrElse("PROF_STRATEGIES", "mor").split(",").map(_.trim)
+    val nBatches = sys.env.getOrElse("PROF_BATCHES", "2").toInt
     (1 to sys.env.getOrElse("PROF_REPEATS", "1").toInt).foreach { rep =>
       foldVariants.foreach { f =>
-        println(s"[prof] ===== run $rep fold=$f =====")
-        val logDir = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-log").toString
-        val sec = Bench.replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir,
-          spec = graft.model.MergeSpec(numBuckets = 128, foldStrategy = f))
-        println(f"[prof] run $rep fold=$f: $nEvents events in $sec%.1fs = ${nEvents / sec}%.0f ev/s")
-        Bench.deleteRecursively(logDir)
+        strategies.foreach { strat =>
+          println(s"[prof] ===== run $rep fold=$f strategy=$strat =====")
+          val logDir = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-log").toString
+          val sec = Bench.replay(spark, nEvents, numBatches = nBatches, buckets = 128, logDir = logDir,
+            spec = graft.model.MergeSpec(numBuckets = 128, foldStrategy = f, mergeStrategy = strat))
+          println(f"[prof] run $rep fold=$f strategy=$strat: $nEvents events in $sec%.1fs = ${nEvents / sec}%.0f ev/s")
+          Bench.deleteRecursively(logDir)
+        }
       }
     }
     spark.stop()

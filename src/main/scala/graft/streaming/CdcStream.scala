@@ -61,14 +61,26 @@ object CdcStream {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (df: DataFrame, epochId: Long) =>
         val batch = df.drop("chunk")
-        logTable.foreach { lt =>
-          graft.operators.EventLogApply.appendBatch(
-            spark, lt, batch, cfg.spec, epoch = Some((cfg.streamId, epochId)))
+        // The event-log append and the state merge are independent jobs
+        // against different tables — submit the append concurrently so it
+        // overlaps the merge's driver-side planning/commit (the Amdahl
+        // serial region) instead of serializing in front of it. Each
+        // commits its own epoch marker, so a crash between the two is
+        // still exactly-once per table on re-delivery.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val logAppend = logTable.map { lt =>
+          Future {
+            graft.operators.EventLogApply.appendBatch(
+              spark, lt, batch, cfg.spec, epoch = Some((cfg.streamId, epochId)))
+          }
         }
         CdcApply.applyBatch(
           spark, table, batch, cfg.spec,
           epoch = Some((cfg.streamId, epochId)),
           rejectedDir = cfg.rejectedDir)
+        logAppend.foreach(Await.result(_, Duration.Inf))
         ()
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
