@@ -119,7 +119,19 @@ final case class MergeSpec(
     /** MOR only: compact a bucket back to base files once it holds more
       * than this many delta files (bounds read-time merge work and makes
       * write amplification O(state/threshold) amortized, not O(state)). */
-    morCompactThreshold: Int = 16)
+    morCompactThreshold: Int = 16,
+    /** Ingest-time payload-field extraction (reference README.md:97-102
+      * "extracting schema fields": a JSON payload field is expanded into
+      * named index columns at write time, not query time). Each
+      * (columnName -> jsonPath) pair is evaluated with `get_json_object`
+      * against [[extractSource]] and appended to the after-struct BEFORE
+      * schema evolution, so extracted columns become real nullable table
+      * columns (ALTER-ADD on first sight). Extracted values are strings;
+      * cast downstream if needed. */
+    extractFields: Seq[(String, String)] = Nil,
+    /** The payload column inside `after` that [[extractFields]] paths are
+      * evaluated against. */
+    extractSource: String = "text")
 
 /** Per-turn net action produced by the in-batch fold (SURVEY.md §2.A
   * A5/A6): the single effect this batch has on one (conv_id, turn_idx)

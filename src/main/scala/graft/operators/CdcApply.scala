@@ -79,6 +79,8 @@ object CdcApply {
       epoch: Option[(String, Long)] = None,
       rejectedDir: Option[String] = None): BatchResult = {
 
+    val events0 = extractPayloadFields(events, spec)
+
     val snap0 = table.current
     // Fast idempotence check (re-checked inside the commit CAS). A batch
     // id BELOW the high-water mark normally means re-delivery of an
@@ -97,7 +99,7 @@ object CdcApply {
 
     // --- schema evolution (ALTER-ADD semantics, SchemaEvolution rules) ---
     val tableSchema0 = org.apache.spark.sql.types.DataType.fromJson(snap0.schemaJson).asInstanceOf[StructType]
-    val incoming = events.schema("after").dataType.asInstanceOf[StructType]
+    val incoming = events0.schema("after").dataType.asInstanceOf[StructType]
     val evolved0 = SchemaEvolution.merge(tableSchema0, incoming) match {
       case Right(s) => s
       case Left(reason) => throw new IllegalArgumentException(s"schema rejected: $reason")
@@ -116,94 +118,114 @@ object CdcApply {
     // planning aggregate saw rejects. Caching the tagged batch instead was
     // measured SLOWER at bench scale (24M events): building the columnar
     // cache of the full payload costs more than the narrow re-scan it saves.
-    val tagged = MergeEngine.tagErrors(events, spec.deleteEnabled)
+    val tagged = MergeEngine.tagErrors(events0, spec.deleteEnabled)
     locally {
-      // --- ONE planning aggregate over the batch (materializes the
-      // cache): per-log-partition lineage (offsets advance past errant
-      // records — quarantined, not retried, `.../sink/JdbcSinkTaskTest.java:324-492`),
-      // volume + rejection + series-tombstone counts, and the
+      // --- ONE planning aggregate over the batch: per-log-partition
+      // lineage (offsets advance past errant records — quarantined, not
+      // retried, `.../sink/JdbcSinkTaskTest.java:324-492`), volume +
+      // rejection + series-tombstone counts, and (COW only) the
       // touched-bucket set (every action's conv_id comes from some batch
       // event, so the batch's distinct buckets are exactly the affected
-      // set — no fold needed for planning).
+      // set — no fold needed for planning). Its parquet scan is pruned to
+      // the narrow envelope columns (never the text payload).
       val isWipe = col("op") === "delete" && col("turn_idx").isNull && col("_error").isNull
-      val lineage = tagged.groupBy("partition")
-        .agg(
+      def planAgg(withBuckets: Boolean): Array[org.apache.spark.sql.Row] = {
+        val aggs = Seq(
           max("offset").as("max_off"),
           count(lit(1)).as("n"),
           sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"),
-          sum(when(isWipe, 1L).otherwise(0L)).as("n_wipes"),
-          collect_set(when(col("_error").isNull,
-            MergeEngine.bucketOf(col("conv_id"), table.numBuckets))).as("buckets"))
-        .collect()
-      val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
-      val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
-      val nWipeEvents = lineage.map(_.getAs[Long]("n_wipes")).sum
-      val touched = lineage.flatMap(_.getAs[scala.collection.Seq[Int]]("buckets")).toSet
-
-      if (rejectedCount > 0) rejectedDir.foreach { d =>
-        val rej = tagged.filter(col("_error").isNotNull)
-          .withColumn("_rejected_at_epoch", lit(epoch.map(_._2).getOrElse(-1L)))
-        epoch match {
-          case Some(_) =>
-            // dynamic partition overwrite: a re-run of the same epoch
-            // (crash between quarantine and commit) replaces its own
-            // partition instead of duplicating rows
-            rej.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("_rejected_at_epoch").parquet(d)
-          case None =>
-            rej.write.mode("append")
-              .partitionBy("_rejected_at_epoch").parquet(d)
-        }
+          sum(when(isWipe, 1L).otherwise(0L)).as("n_wipes")) ++
+          (if (withBuckets) Seq(collect_set(when(col("_error").isNull,
+            MergeEngine.bucketOf(col("conv_id"), table.numBuckets))).as("buckets")) else Nil)
+        tagged.groupBy("partition").agg(aggs.head, aggs.tail: _*).collect()
       }
-
+      def writeQuarantine(rejectedCount: Long): Unit =
+        if (rejectedCount > 0) rejectedDir.foreach { d =>
+          val rej = tagged.filter(col("_error").isNotNull)
+            .withColumn("_rejected_at_epoch", lit(epoch.map(_._2).getOrElse(-1L)))
+          epoch match {
+            case Some(_) =>
+              // dynamic partition overwrite: a re-run of the same epoch
+              // (crash between quarantine and commit) replaces its own
+              // partition instead of duplicating rows
+              rej.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_rejected_at_epoch").parquet(d)
+            case None =>
+              rej.write.mode("append")
+                .partitionBy("_rejected_at_epoch").parquet(d)
+          }
+        }
       val valid = tagged.filter(col("_error").isNull).drop("_error")
-
-      // series wipes: distributed aggregate over the cached batch —
-      // never collected to the driver; broadcast into the fold/merge only
-      // below the bulk-delete threshold. The (common) wipe-free batch
-      // skips the aggregate + join stages entirely with an empty literal
-      // relation (planning count is exact, from the lineage aggregate).
-      val wipes0 =
-        if (nWipeEvents == 0L)
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            StructType(Seq(
-              org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
-        else MergeEngine.seriesWipes(valid)
-      val wipes = if (nWipeEvents <= WipeBroadcastMax) broadcast(wipes0) else wipes0
-
-      // --- per-key fold (computed once, consumed lazily by the write) ---
-      val actions =
-        if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
-        else MergeEngine.netActionsViaJoin(valid, wipes)
 
       // Normalize action rows to the (possibly evolved) table schema:
       // missing columns → null, narrower types → up-cast.
-      val rowFields = actions.schema("row").dataType.asInstanceOf[StructType].fieldNames.toSet
-      val normRow = struct(evolved.fields.toSeq.map { f =>
-        (f.name match {
-          case "_partition" if spec.coordinates => col("src_partition").cast(f.dataType)
-          case "_offset" if spec.coordinates    => col("src_offset").cast(f.dataType)
-          case n if rowFields.contains(n)       => col(s"row.$n").cast(f.dataType)
-          case _                                => lit(null).cast(f.dataType)
-        }).as(f.name)
-      }: _*)
-      val normActions = actions.withColumn("row", normRow)
-
-      if (touched.isEmpty) {
-        // Nothing to merge (e.g. all events invalid) — still commit the
-        // epoch marker so re-delivery stays a no-op.
-        val snap = commitSnapshot(table, Map.empty, touched, evolved, epoch, lineage, 0L, eventsSeen, rejectedCount)
-        return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
+      def normalize(actions: DataFrame): DataFrame = {
+        val rowFields = actions.schema("row").dataType.asInstanceOf[StructType].fieldNames.toSet
+        val normRow = struct(evolved.fields.toSeq.map { f =>
+          (f.name match {
+            case "_partition" if spec.coordinates => col("src_partition").cast(f.dataType)
+            case "_offset" if spec.coordinates    => col("src_offset").cast(f.dataType)
+            case n if rowFields.contains(n)       => col(s"row.$n").cast(f.dataType)
+            case _                                => lit(null).cast(f.dataType)
+          }).as(f.name)
+        }: _*)
+        actions.withColumn("row", normRow)
       }
 
       val result = spec.mergeStrategy match {
         case "mor" =>
-          applyMor(spark, table, snap0, normActions, wipes0, evolved, epoch, lineage,
-            eventsSeen, rejectedCount)
+          // Planning and the delta write are independent jobs over the
+          // same batch — the COMMIT needs the lineage, the write does
+          // not (MOR appends; no bucket set needed up front). Submit
+          // planning concurrently so its scan hides behind the write
+          // instead of serializing in front of it (per-epoch Amdahl
+          // region). The wipe set is unhinted: AQE broadcasts it at
+          // runtime when small and shuffles a bulk-GDPR-sized one — no
+          // driver-side count gate needed on this path.
+          import scala.concurrent.{ExecutionContext, Future}
+          val planF = Future(planAgg(withBuckets = false))(ExecutionContext.global)
+          val wipes = MergeEngine.seriesWipes(valid)
+          val actions =
+            if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
+            else MergeEngine.netActionsViaJoin(valid, wipes)
+          val r = applyMor(spark, table, snap0, normalize(actions), wipes, evolved, epoch, planF)
+          if (!r.skipped) writeQuarantine(r.rejected)
+          r
         case _ =>
-          applyCow(spark, table, normActions, wipes, touched, evolved, spec, epoch, lineage,
+          val lineage = planAgg(withBuckets = true)
+          val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
+          val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
+          val nWipeEvents = lineage.map(_.getAs[Long]("n_wipes")).sum
+          val touched = lineage.flatMap(_.getAs[scala.collection.Seq[Int]]("buckets")).toSet
+          writeQuarantine(rejectedCount)
+
+          // series wipes: distributed aggregate over the batch — never
+          // collected to the driver; broadcast into the fold/merge only
+          // below the bulk-delete threshold. The (common) wipe-free batch
+          // skips the aggregate + join stages entirely with an empty
+          // literal relation (planning count is exact, from the lineage
+          // aggregate).
+          val wipes0 =
+            if (nWipeEvents == 0L)
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                StructType(Seq(
+                  org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
+            else MergeEngine.seriesWipes(valid)
+          val wipes = if (nWipeEvents <= WipeBroadcastMax) broadcast(wipes0) else wipes0
+
+          val actions =
+            if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
+            else MergeEngine.netActionsViaJoin(valid, wipes)
+
+          if (touched.isEmpty) {
+            // Nothing to merge (e.g. all events invalid) — still commit the
+            // epoch marker so re-delivery stays a no-op.
+            val snap = commitSnapshot(table, Map.empty, touched, evolved, epoch, lineage, 0L, eventsSeen, rejectedCount)
+            return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
+          }
+          applyCow(spark, table, normalize(actions), wipes, touched, evolved, spec, epoch, lineage,
             eventsSeen, rejectedCount)
       }
       // amortized copy-on-write moment: fold delta-heavy buckets back to
@@ -226,9 +248,7 @@ object CdcApply {
       wipes: DataFrame,
       evolved: StructType,
       epoch: Option[(String, Long)],
-      lineage: Array[org.apache.spark.sql.Row],
-      eventsSeen: Long,
-      rejectedCount: Long): BatchResult = {
+      lineageF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]]): BatchResult = {
 
     // single-writer sequence: rows are stamped before the commit, so a
     // racing writer (which would steal this version) aborts the commit
@@ -258,6 +278,12 @@ object CdcApply {
 
     val staged = table.stagedFilesByBucket(stage)
     val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
+
+    // planning ran concurrently with the delta write; join it here — the
+    // commit is the first consumer of the lineage
+    val lineage = scala.concurrent.Await.result(lineageF, scala.concurrent.duration.Duration.Inf)
+    val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
+    val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
 
     val snap =
       try {
@@ -350,16 +376,44 @@ object CdcApply {
     BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
   }
 
-  /** Sum of row counts from parquet footers (driver-side metadata reads). */
+  /** Ingest-time payload-field extraction (MergeSpec.extractFields): widen
+    * the after-struct with `get_json_object(after.<extractSource>, path)`
+    * columns — pure codegen'd column expressions, evaluated inside the one
+    * full-width batch scan (no extra job, no UDF). The reference does this
+    * as record-transform config before binding (README.md:97-102).
+    */
+  private def extractPayloadFields(events: DataFrame, spec: MergeSpec): DataFrame =
+    if (spec.extractFields.isEmpty) events
+    else {
+      val afterT = events.schema("after").dataType.asInstanceOf[StructType]
+      val keep = afterT.fieldNames.toSeq.map(n => col(s"after.`$n`").as(n))
+      val extracted = spec.extractFields.map { case (name, path) =>
+        get_json_object(col(s"after.`${spec.extractSource}`"), path).as(name)
+      }
+      events.withColumn(
+        "after",
+        when(col("after").isNotNull, struct(keep ++ extracted: _*)))
+    }
+
+  /** Sum of row counts from parquet footers (driver-side metadata reads,
+    * fanned out on a thread pool — one file per bucket per epoch adds up,
+    * and each footer open is latency-bound, not CPU-bound).
+    */
   private[operators] def footerRowCount(spark: SparkSession, paths: Iterable[String]): Long = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val conf = spark.sessionState.newHadoopConf()
-    paths.map { p =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
-      finally r.close()
-    }.sum
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val counts = paths.toSeq.map { p =>
+      Future {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+        finally r.close()
+      }
+    }
+    Await.result(Future.sequence(counts), Duration.Inf).sum
   }
 
   private def lastEpoch(s: IceLite.Snapshot, streamId: String): Option[Long] =

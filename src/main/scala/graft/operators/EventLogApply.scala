@@ -48,6 +48,22 @@ object EventLogApply {
         return CdcApply.BatchResult(snap0, skipped = true, 0L, 0L, 0L)
     }
 
+    // Evolve the log table's schema when the batch's after-struct carries
+    // drift columns: the ALTER-ADD merge runs FIELD-WISE on the nested
+    // after struct (comparing the struct as one opaque type would reject
+    // both drift adds and harmless nested-nullability differences).
+    // Resolved against the commit-time parent (CAS-safe under retry).
+    val incomingAfter = events.schema("after").dataType.asInstanceOf[StructType]
+    def evolveFrom(parent: IceLite.Snapshot): StructType = {
+      val curAfter = org.apache.spark.sql.types.DataType
+        .fromJson(parent.schemaJson).asInstanceOf[StructType]("after")
+        .dataType.asInstanceOf[StructType]
+      graft.table.SchemaEvolution.merge(curAfter, incomingAfter) match {
+        case Right(s)     => logSchema(s)
+        case Left(reason) => throw new IllegalArgumentException(s"schema rejected: $reason")
+      }
+    }
+
     val rows = events.select(
       col("op"), col("conv_id"), col("turn_idx"), col("after"), col("ts"),
       col("partition").as("_partition"), col("offset").as("_offset"))
@@ -78,6 +94,7 @@ object EventLogApply {
           fs + (b -> (fs.getOrElse(b, Seq.empty) ++ newFiles))
         }
         parent.copy(
+          schemaJson = evolveFrom(parent).json,
           files = merged,
           properties = parent.properties ++
             epoch.map { case (sid, bid) => s"epoch:$sid" -> bid.toString }.toMap,

@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 import graft.model.{MergeSpec, Schemas}
 import graft.operators.CdcApply
@@ -22,8 +29,29 @@ import graft.table.{IceLite, IceLiteTable}
   * (`/root/reference/src/main/java/io/confluent/connect/jdbc/sink/JdbcDbWriter.java:56,83`)
   * on top of Connect's at-least-once redelivery
   * (`.../sink/JdbcSinkTask.java:102-107`).
+  *
+  * Schema drift mid-stream: in the default `schemaMode = "drift"`, each
+  * micro-batch's envelope schema is re-resolved from the batch's OWN
+  * parquet footers (the streamed scan is only an offset-tracking feed; the
+  * data flows through a fresh batch read of exactly the files the epoch
+  * covers). A column that first appears in log files written AFTER the
+  * stream started therefore lands in the table via ALTER-ADD evolution in
+  * the same epoch, no restart — the engine analogue of the reference
+  * evolving per record batch
+  * (`.../sink/BufferedRecords.java:118-126`, `.../sink/DbStructure.java:124-231`).
   */
 object CdcStream {
+
+  /** Topic→table routing (the reference's `table.name.format` with
+    * `${topic}`, `/root/reference/src/main/java/io/confluent/connect/jdbc/sink/JdbcDbWriter.java:90-101`):
+    * events carry a `topicColumn`, and each distinct topic's slice of the
+    * batch is applied to its own IceLite table at
+    * `tableDirTemplate.replace("${topic}", topic)`. Tables are created on
+    * first sight of their topic, with that batch's after-struct schema.
+    * Exactly-once holds per table (each commits its own epoch marker), so
+    * a crash mid-routing re-applies only the not-yet-committed topics.
+    */
+  final case class Routing(tableDirTemplate: String, topicColumn: String = "topic")
 
   final case class StreamConfig(
       logDir: String,
@@ -38,21 +66,35 @@ object CdcStream {
         * the reference's INSERT-mode event log, kept alongside the
         * latest-state view (north star: "append-only event log plus
         * latest-state upsert view") */
-      eventLogTableDir: Option[String] = None)
+      eventLogTableDir: Option[String] = None,
+      /** "drift" (default): re-resolve the envelope schema per micro-batch
+        * from the batch's own files (mid-stream column adds land without a
+        * restart). "pinned": envelope schema fixed at stream start — no
+        * per-epoch re-resolution cost; drift columns wait for a restart. */
+      schemaMode: String = "drift",
+      /** multi-table topic routing; None = single-table (tableDir). */
+      routing: Option[Routing] = None)
 
   /** Start (or resume, given the same checkpointDir) the ingest stream.
     * Creates the table on first use with the log's after-struct schema.
     */
   def start(spark: SparkSession, cfg: StreamConfig): StreamingQuery = {
-    val table: IceLiteTable =
-      if (IceLite.exists(cfg.tableDir)) IceLite.load(cfg.tableDir)
-      else IceLite.create(cfg.tableDir, Schemas.transcript, cfg.spec.numBuckets)
+    val table: Option[IceLiteTable] =
+      if (cfg.routing.isDefined) None // routed tables are created on first sight of their topic
+      else Some(loadOrCreate(cfg.tableDir, Schemas.transcript, cfg.spec))
     val logTable: Option[IceLiteTable] = cfg.eventLogTableDir.map { d =>
-      if (IceLite.exists(d)) IceLite.load(d)
-      else IceLite.create(d, graft.operators.EventLogApply.logSchema(Schemas.transcript), cfg.spec.numBuckets)
+      loadOrCreate(d, graft.operators.EventLogApply.logSchema(Schemas.transcript), cfg.spec,
+        logTable = true)
     }
 
-    var reader = spark.readStream.schema(Schemas.envelope())
+    // the pinned source schema; routing adds the topic column (in drift
+    // mode the per-batch re-read resolves the real file schema anyway)
+    val sourceSchema = cfg.routing match {
+      case Some(r) => StructType(Schemas.envelope().fields :+
+        org.apache.spark.sql.types.StructField(r.topicColumn, org.apache.spark.sql.types.StringType))
+      case None => Schemas.envelope()
+    }
+    var reader = spark.readStream.schema(sourceSchema)
     cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     val events = reader.parquet(cfg.logDir)
 
@@ -60,7 +102,9 @@ object CdcStream {
       .queryName(s"graft-${cfg.streamId}")
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (df: DataFrame, epochId: Long) =>
-        val batch = df.drop("chunk")
+        val batch =
+          (if (cfg.schemaMode == "drift") resolveBatch(spark, cfg, epochId, df) else df)
+            .drop("chunk")
         // The event-log append and the state merge are independent jobs
         // against different tables — submit the append concurrently so it
         // overlaps the merge's driver-side planning/commit (the Amdahl
@@ -73,18 +117,86 @@ object CdcStream {
         val logAppend = logTable.map { lt =>
           Future {
             graft.operators.EventLogApply.appendBatch(
-              spark, lt, batch, cfg.spec, epoch = Some((cfg.streamId, epochId)))
+              spark, lt, batch.drop(cfg.routing.map(_.topicColumn).toSeq: _*),
+              cfg.spec, epoch = Some((cfg.streamId, epochId)))
           }
         }
-        CdcApply.applyBatch(
-          spark, table, batch, cfg.spec,
-          epoch = Some((cfg.streamId, epochId)),
-          rejectedDir = cfg.rejectedDir)
+        cfg.routing match {
+          case None =>
+            CdcApply.applyBatch(
+              spark, table.get, batch, cfg.spec,
+              epoch = Some((cfg.streamId, epochId)),
+              rejectedDir = cfg.rejectedDir)
+          case Some(r) =>
+            // one narrow distinct over the batch (topic column only);
+            // topic count is bounded by the upstream subscription
+            val topics = batch.select(col(r.topicColumn).cast("string"))
+              .na.drop().distinct().collect().map(_.getString(0)).sorted
+            topics.foreach { t =>
+              val dir = r.tableDirTemplate.replace("${topic}", t)
+              val afterT = batch.schema("after").dataType.asInstanceOf[StructType]
+              val tbl = loadOrCreate(dir, afterT, cfg.spec)
+              CdcApply.applyBatch(
+                spark, tbl,
+                batch.filter(col(r.topicColumn) === t).drop(r.topicColumn),
+                cfg.spec,
+                epoch = Some((cfg.streamId, epochId)),
+                rejectedDir = cfg.rejectedDir.map(d => s"$d/topic=$t"))
+            }
+        }
         logAppend.foreach(Await.result(_, Duration.Inf))
         ()
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  private def loadOrCreate(
+      dir: String, schema: StructType, spec: MergeSpec,
+      logTable: Boolean = false): IceLiteTable =
+    if (IceLite.exists(dir)) IceLite.load(dir)
+    else IceLite.create(dir, schema, spec.numBuckets)
+
+  /** Re-read the epoch's files as a fresh batch scan with footer-merged
+    * schema, so drift columns in new files are visible this epoch. The
+    * file set comes from the checkpoint's file-source log (driver-side
+    * file read, no Spark job); if that ever fails to parse, fall back to
+    * a `_metadata.file_path` distinct over the streamed scan (one narrow
+    * job). The streamed DataFrame itself is never executed on this path —
+    * it is only the offset-tracking feed.
+    */
+  private def resolveBatch(
+      spark: SparkSession, cfg: StreamConfig, epochId: Long, df: DataFrame): DataFrame = {
+    val files = batchFiles(cfg.checkpointDir, epochId)
+      .getOrElse(df.select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toSeq)
+    if (files.isEmpty) df
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Parse `checkpoint/sources/0/<batchId>` (Spark's file-source log: a
+    * `v1` header then one JSON entry per admitted file; compacted batches
+    * carry the whole history, tagged by `batchId`). Returns None on any
+    * surprise so the caller can fall back.
+    */
+  private[streaming] def batchFiles(checkpointDir: String, batchId: Long): Option[Seq[String]] =
+    try {
+      val dir = Paths.get(checkpointDir, "sources", "0")
+      val plain = dir.resolve(batchId.toString)
+      val f = if (Files.exists(plain)) plain else dir.resolve(s"$batchId.compact")
+      if (!Files.exists(f)) return None
+      val pathRe = "\"path\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      val batchRe = "\"batchId\":(-?\\d+)".r
+      val lines = Files.readAllLines(f).asScala
+      if (lines.isEmpty || lines.head.trim != "v1") return None
+      val out = lines.iterator.drop(1).filter(_.nonEmpty).flatMap { ln =>
+        val bid = batchRe.findFirstMatchIn(ln).map(_.group(1).toLong)
+        if (bid.contains(batchId))
+          pathRe.findFirstMatchIn(ln).map(m =>
+            m.group(1).replace("\\/", "/").replace("\\\\", "\\"))
+        else None
+      }.toVector
+      Some(out)
+    } catch { case NonFatal(_) => None }
 
   /** Run to completion over the currently-available log and return the table. */
   def runAvailable(spark: SparkSession, cfg: StreamConfig): IceLiteTable = {

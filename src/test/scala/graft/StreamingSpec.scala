@@ -62,6 +62,80 @@ class StreamingSpec extends SparkSuite {
     assert(!stateTriples(t2).exists(_._1 == "c00000001"))
   }
 
+  test("schema drift mid-stream: column first seen in later-admitted files lands without restart") {
+    val root = tmpDir("stream-drift")
+    val cfg = ChangeLogGen.GenConfig(numEvents = 1200, numConvs = 20, maxTurns = 6, logPartitions = 2)
+    ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 2)
+
+    // A later chunk whose after-struct carries a brand-new nullable column
+    // `sentiment` — the pinned source schema (fixed at stream start) has
+    // never heard of it; only per-batch re-resolution can see it.
+    val driftEvents = Seq(ins(5000000L, "c_drift", 0, "drift-payload"))
+    eventsDF(spark, driftEvents)
+      .withColumn("schema_v", lit(3)).drop("schemaV")
+      .withColumn("after", when(col("after").isNotNull,
+        struct(col("after.*"), lit("positive").as("sentiment"))))
+      .write.mode("append").parquet(s"$root/log/chunk=9")
+    // (mtime of the new files is 'now', far above writeLog's staggered
+    // base → the file source admits them in a LATER micro-batch)
+
+    val sc = CdcStream.StreamConfig(s"$root/log", s"$root/table", s"$root/ckpt",
+      maxFilesPerTrigger = Some(1), eventLogTableDir = Some(s"$root/logtbl"))
+    val table = CdcStream.runAvailable(spark, sc)
+    assert(table.current.properties("epoch:cdc").toLong >= 1, "expected multiple epochs")
+
+    // drift column is now part of the table schema, with the value applied
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(table.current.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.contains("sentiment"))
+    val driftRows = table.read(spark)
+      .filter(col("conv_id") === "c_drift")
+      .select("turn_idx", "sentiment").collect()
+    assert(driftRows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((0, "positive")))
+
+    // the event-log table evolved too
+    val logSchema = org.apache.spark.sql.types.DataType
+      .fromJson(IceLite.load(s"$root/logtbl").current.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(logSchema("after").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("sentiment"))
+
+    // and the overall state still equals the oracle fold of the full log
+    val evs = collectLog(spark.read.schema(graft.model.Schemas.envelope()).parquet(s"$root/log"))
+    assert(stateTriples(table) == oracleTriples(evs))
+  }
+
+  test("topic-to-table routing: ${topic} template, one table per topic, exactly-once per table") {
+    val root = tmpDir("stream-route")
+    val evs = Seq(
+      ins(0L, "cA", 0, "a0"), ins(1L, "cA", 1, "a1"),
+      ins(2L, "cB", 0, "b0"), del(3L, "cA", Some(1)))
+    eventsDF(spark, evs)
+      .withColumn("schema_v", lit(2)).drop("schemaV")
+      .withColumn("topic", when(col("conv_id") === "cA", lit("alpha")).otherwise(lit("beta")))
+      .write.parquet(s"$root/log/chunk=0")
+
+    val sc = CdcStream.StreamConfig(
+      s"$root/log", tableDir = s"$root/unused", checkpointDir = s"$root/ckpt",
+      routing = Some(CdcStream.Routing(s"$root/tables/" + "${topic}")))
+    val q = CdcStream.start(spark, sc)
+    q.awaitTermination()
+
+    val ta = IceLite.load(s"$root/tables/alpha")
+    val tb = IceLite.load(s"$root/tables/beta")
+    assert(stateTriples(ta) == Seq(("cA", 0, "a0")))
+    assert(stateTriples(tb) == Seq(("cB", 0, "b0")))
+    assert(!java.nio.file.Files.exists(Paths.get(s"$root/unused")),
+      "routing mode must not create the unrouted table")
+
+    // re-delivery of the same epochs is a no-op on every routed table
+    val (vA, vB) = (ta.currentVersion, tb.currentVersion)
+    val q2 = CdcStream.start(spark, sc) // same checkpoint: nothing new
+    q2.awaitTermination()
+    assert(IceLite.load(s"$root/tables/alpha").currentVersion == vA)
+    assert(IceLite.load(s"$root/tables/beta").currentVersion == vB)
+  }
+
   test("crash after table commit but before checkpoint commit: epoch re-run is skipped") {
     val root = tmpDir("stream-crash")
     val cfg = ChangeLogGen.GenConfig(numEvents = 1500, numConvs = 20, maxTurns = 6, logPartitions = 2)
