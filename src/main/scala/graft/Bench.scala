@@ -21,6 +21,16 @@ object Bench {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
+  /** Spark local (shuffle/spill) scratch on the RAM-backed base — see
+    * [[tmpBase]]; a real cluster's shuffle bandwidth scales with its
+    * executors' local disks, the sandbox's single /tmp disk does not.
+    */
+  def localDirs(): String = {
+    val p = tmpBase.resolve("graft-spark-local")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
@@ -70,6 +80,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDirs())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -15,6 +15,7 @@ object ProfileReplay {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.localDirs())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

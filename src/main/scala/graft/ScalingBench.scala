@@ -35,6 +35,11 @@ object ScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on tmpfs: on a real cluster shuffle lands on
+      // per-executor local disks whose aggregate bandwidth scales with the
+      // cluster; the sandbox's single /tmp disk does not and would measure
+      // the disk, not the engine (same rationale as Bench.tmpBase)
+      .config("spark.local.dir", Bench.localDirs())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -180,12 +180,33 @@ object CdcApply {
           // not (MOR appends; no bucket set needed up front). Submit
           // planning concurrently so its scan hides behind the write
           // instead of serializing in front of it (per-epoch Amdahl
-          // region). The wipe set is unhinted: AQE broadcasts it at
-          // runtime when small and shuffles a bulk-GDPR-sized one — no
-          // driver-side count gate needed on this path.
-          import scala.concurrent.{ExecutionContext, Future}
-          val planF = Future(planAgg(withBuckets = false))(ExecutionContext.global)
-          val wipes = MergeEngine.seriesWipes(valid)
+          // region).
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val planF = Future(planAgg(withBuckets = false))
+          // The wipe-broadcast gate needs a count BEFORE the fold plan is
+          // built (an unhinted wipe join materializes the payload side
+          // into an extra shuffle even when AQE later converts it to
+          // broadcast — measured, that shuffle is the regression). Use a
+          // dedicated MINIMAL count: three narrow envelope columns, no
+          // `after` access, overlapped with the planning scan. A delete
+          // is a wipe candidate iff its key is sound and deletes are
+          // admitted — exactly tagErrors' rule for op=delete.
+          val nWipes =
+            if (!spec.deleteEnabled) 0L
+            else Await.result(
+              Future(events0.filter(col("op") === "delete" && col("turn_idx").isNull &&
+                col("conv_id").isNotNull).count()),
+              Duration.Inf)
+          val wipes0 =
+            if (nWipes == 0L)
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                StructType(Seq(
+                  org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
+            else MergeEngine.seriesWipes(valid)
+          val wipes = if (nWipes <= WipeBroadcastMax) broadcast(wipes0) else wipes0
           val actions =
             if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
             else MergeEngine.netActionsViaJoin(valid, wipes)
@@ -258,21 +279,24 @@ object CdcApply {
       col("conv_id"),
       lit(null).cast("int").as("turn_idx"),
       lit(NetAction.Wipe).as("action"),
-      lit(null).cast(evolved).as("row"),
-      col("wipe_off").as("src_offset"),
-      lit(null).cast("int").as("src_partition"))
+      lit(null).cast(evolved).as("row"))
     val deltaRows = normActions
-      .select(col("conv_id"), col("turn_idx"), col("action"), col("row"),
-        col("src_offset"), col("src_partition"))
+      .select(col("conv_id"), col("turn_idx"), col("action"), col("row"))
       .unionByName(wipeRows)
       .withColumn("seq", lit(seq))
       .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
 
+    // Delta files are TRANSIENT (folded into zstd'd, sorted, bloom'd base
+    // files at compaction): write them LSM-L0 style — light compression,
+    // no sort, no bloom. MOR readers scan a touched bucket's deltas fully
+    // anyway (only the bucket= dir prunes), so row-group stats/sort order
+    // buy nothing here and the zstd+sort CPU was the largest block of the
+    // per-epoch profile.
     val stage = table.newStageDir()
     deltaRows
       .hint("rebalance", "bucket") // AQE splits hot buckets, coalesces cold
-      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-      .write.mode("overwrite").options(writeOptions)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
       .partitionBy("bucket")
       .parquet(stage.toString)
 

@@ -43,8 +43,6 @@ object MorRead {
     StructField("turn_idx", IntegerType), // null = series-wipe row
     StructField("action", StringType),
     StructField("row", tableSchema),
-    StructField("src_offset", LongType),
-    StructField("src_partition", IntegerType),
     StructField("seq", LongType)))
 
   /** Current state of (a bucket subset of) the table: `base` rows merged
