@@ -61,6 +61,10 @@ object ContentQueries {
     val sig = sh.groupBy("doc_id").agg(bands.head, bands.tail: _*)
     val melted = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(j => col(s"b$j")): _*)).as(Seq("band", "bv")))
+    // NO broadcast hint: the signature side is O(corpus) (4 rows per doc)
+    // — broadcastable at test SF but a driver hazard at 100 TB. The
+    // self-join shuffles on (band, bv) and both sides share one reused
+    // exchange (identical subplans); AQE may still broadcast small inputs.
     melted.as("a").join(melted.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

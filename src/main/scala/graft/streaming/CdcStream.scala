@@ -195,7 +195,9 @@ object CdcStream {
             m.group(1).replace("\\/", "/").replace("\\\\", "\\"))
         else None
       }.toVector
-      Some(out)
+      // no entries for this batch = either a legitimately empty batch or a
+      // format surprise — be conservative, let the caller fall back
+      if (out.isEmpty) None else Some(out)
     } catch { case NonFatal(_) => None }
 
   /** Run to completion over the currently-available log and return the table. */

@@ -23,19 +23,20 @@ class StreamingSpec extends SparkSuite {
   private def oracleTriples(evs: Seq[ChangeEvent]) =
     OracleFold.rows(OracleFold.finalState(evs)).map(x => (x.conv_id, x.turn_idx, x.text))
 
-  test("streamed replay over file source equals oracle, multiple epochs") {
-    val root = tmpDir("stream-basic")
-    val cfg = ChangeLogGen.GenConfig(numEvents = 5000, numConvs = 60, maxTurns = 10, logPartitions = 4)
-    ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 3)
+  for (mode <- Seq("drift", "pinned"))
+    test(s"streamed replay over file source equals oracle, multiple epochs (schemaMode=$mode)") {
+      val root = tmpDir(s"stream-basic-$mode")
+      val cfg = ChangeLogGen.GenConfig(numEvents = 5000, numConvs = 60, maxTurns = 10, logPartitions = 4)
+      ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 3)
 
-    val sc = CdcStream.StreamConfig(s"$root/log", s"$root/table", s"$root/ckpt",
-      maxFilesPerTrigger = Some(1))
-    val table = CdcStream.runAvailable(spark, sc)
+      val sc = CdcStream.StreamConfig(s"$root/log", s"$root/table", s"$root/ckpt",
+        maxFilesPerTrigger = Some(1), schemaMode = mode)
+      val table = CdcStream.runAvailable(spark, sc)
 
-    assert(table.current.properties("epoch:cdc").toLong >= 2, "expected multiple epochs")
-    val evs = collectLog(spark.read.parquet(s"$root/log"))
-    assert(stateTriples(table) == oracleTriples(evs))
-  }
+      assert(table.current.properties("epoch:cdc").toLong >= 2, "expected multiple epochs")
+      val evs = collectLog(spark.read.parquet(s"$root/log"))
+      assert(stateTriples(table) == oracleTriples(evs))
+    }
 
   test("resume from checkpoint: new log files processed, old ones not re-read") {
     val root = tmpDir("stream-resume")
@@ -128,12 +129,18 @@ class StreamingSpec extends SparkSuite {
     assert(!java.nio.file.Files.exists(Paths.get(s"$root/unused")),
       "routing mode must not create the unrouted table")
 
-    // re-delivery of the same epochs is a no-op on every routed table
+    // crash-replay: drop the streaming commit marker so Spark re-RUNS the
+    // epoch with the same batch id — every routed table must skip it
+    // (per-table epoch markers), state and versions unchanged
     val (vA, vB) = (ta.currentVersion, tb.currentVersion)
-    val q2 = CdcStream.start(spark, sc) // same checkpoint: nothing new
+    val lastEpoch = ta.current.properties("epoch:cdc").toLong
+    Files.delete(Paths.get(s"$root/ckpt/commits/$lastEpoch"))
+    Files.deleteIfExists(Paths.get(s"$root/ckpt/commits/.$lastEpoch.crc"))
+    val q2 = CdcStream.start(spark, sc)
     q2.awaitTermination()
     assert(IceLite.load(s"$root/tables/alpha").currentVersion == vA)
     assert(IceLite.load(s"$root/tables/beta").currentVersion == vB)
+    assert(stateTriples(IceLite.load(s"$root/tables/alpha")) == Seq(("cA", 0, "a0")))
   }
 
   test("crash after table commit but before checkpoint commit: epoch re-run is skipped") {
