@@ -84,6 +84,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // JVM/codegen warmup, untimed: the first query otherwise carries all
+    // classloading + whole-stage-codegen compilation cost (measured ~3x
+    // its steady-state time) — that is JVM startup, not the query's plan.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(64).count()
+      SparkEntry.queries.get("q02_filter_project").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -91,12 +91,27 @@ final class IceLiteTable(val dir: String) {
     * reader) — merged at read time with any outstanding MOR delta files
     * (see [[MorRead.merged]]; a no-op pass-through when there are none).
     */
-  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
-    val s = current
-    val base = readBase(spark, buckets)
+  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame =
+    readSnapshotState(spark, current, buckets)
+
+  /** Time travel: the table STATE as of snapshot `version` (that commit's
+    * base files merged with its then-outstanding deltas, under its schema
+    * version) — Iceberg's `VERSION AS OF`. Valid while the snapshot
+    * survives `expireSnapshots` (expiry deletes unreferenced files).
+    */
+  def readAt(spark: SparkSession, version: Long, buckets: Option[Set[Int]] = None): DataFrame =
+    readSnapshotState(spark, snapshot(version), buckets)
+
+  private def readSnapshotState(
+      spark: SparkSession, s: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    val sch = schemaOf(s)
+    val files = resolve(s.files, buckets)
+    val base =
+      if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+      else spark.read.schema(sch).parquet(files: _*)
     val deltaPaths = resolve(s.deltas, buckets)
     if (deltaPaths.isEmpty) base
-    else MorRead.merged(spark, schemaOf(s), base, deltaPaths)
+    else MorRead.merged(spark, sch, base, deltaPaths)
   }
 
   /** Base files only — MOR deltas NOT applied (compaction + COW internals). */

@@ -133,6 +133,24 @@ class IceLiteSpec extends SparkSuite {
     assert(t.currentVersion == v)
     assert(readTable(spark, t).map(_.text) == Seq("v1"))
   }
+
+  test("time travel: readAt(version) returns the state as of that commit") {
+    val dir = tmpDir("icelite-tt")
+    val t = IceLite.create(s"$dir/t", TestHelpers.turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(
+      ins(0L, "c1", 0, "first"), ins(1L, "c2", 0, "keep"))))
+    val v1 = t.currentVersion
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(
+      ups(2L, "c1", 0, "second"), del(3L, "c2", None))))
+
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "text").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2)).toSeq
+
+    assert(triples(t.readAt(spark, v1)) == Seq(("c1", 0, "first"), ("c2", 0, "keep")))
+    assert(triples(t.read(spark)) == Seq(("c1", 0, "second")))
+    assert(triples(t.readAt(spark, t.currentVersion)) == triples(t.read(spark)))
+  }
 }
 
 /** Test helper: commit with CAS-retry loop (IceLiteTable.commit throws on

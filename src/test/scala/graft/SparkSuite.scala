@@ -12,6 +12,11 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // Spark 4.1's streaming-checkpoint checksum writer deadlocks its
+    // internal pool under concurrent local state-store commits
+    // (ChecksumCheckpointFileManager.awaitResult parks all task threads —
+    // observed with mapGroupsWithState at local[4]); not needed for tests
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .getOrCreate()
 }
 
