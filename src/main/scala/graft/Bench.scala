@@ -75,7 +75,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 3 tasks per core per stage (not the 200 default): stage tails stop
+      // dominating; identical to ScalingBench so the replay reproduces
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 3).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
