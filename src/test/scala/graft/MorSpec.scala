@@ -66,6 +66,38 @@ class MorSpec extends SparkSuite {
       want.map(x => (x.conv_id, x.turn_idx, x.text)))
   }
 
+  test("schema drift across mor deltas survives read-merge and compaction") {
+    val dir = tmpDir("mor-drift") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1000)
+
+    // epoch 0 writes deltas under the original schema
+    CdcApply.applyBatch(spark, t,
+      eventsDF(spark, Seq(ins(0L, "c1", 0, "old-a"), ins(1L, "c2", 0, "old-b"))),
+      spec = spec, epoch = Some(("d", 0L)))
+    // epoch 1 drifts: after-struct gains a nullable `sentiment` column
+    val drifted = eventsDF(spark, Seq(ins(2L, "c1", 1, "new-a"), ups(3L, "c2", 0, "new-b")))
+      .withColumn("after", when(col("after").isNotNull,
+        // `when` without otherwise => nullable, as ALTER-ADD requires
+        struct(col("after.*"), when(col("conv_id").isNotNull, lit("pos")).as("sentiment"))))
+    CdcApply.applyBatch(spark, t, drifted, spec = spec, epoch = Some(("d", 1L)))
+
+    def stateMap() = t.read(spark)
+      .select("conv_id", "turn_idx", "text", "sentiment").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getString(2), Option(r.getString(3))))).toMap
+
+    val expected = Map(
+      ("c1", 0) -> (("old-a", None)),          // pre-drift delta: null sentiment
+      ("c1", 1) -> (("new-a", Some("pos"))),
+      ("c2", 0) -> (("new-b", Some("pos"))))   // upsert replaced the old row
+    assert(stateMap() == expected, "read-merge across mixed-schema deltas")
+
+    // compaction folds mixed-schema deltas into base files; state unchanged
+    assert(t.compactDeltas(spark, 0) > 0)
+    assert(t.current.deltas.isEmpty)
+    assert(stateMap() == expected, "state changed across drift compaction")
+  }
+
   test("cow batch on top of outstanding mor deltas folds them (strategy hand-off)") {
     val dir = tmpDir("mor-handoff") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)
