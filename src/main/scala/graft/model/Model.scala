@@ -58,6 +58,25 @@ object Op {
   val all: Set[String] = Set(Insert, Update, Upsert, Delete)
 }
 
+/** One ingest-time extraction target: JSON `path` evaluated against the
+  * payload column, landing as table column `name` typed `castTo` (Spark
+  * DDL string; default "string"). Non-string types follow the reference's
+  * sanctioned extract+Cast-SMT pattern (README.md:152-161): a record whose
+  * raw extracted value is non-null but fails the cast is quarantined, not
+  * silently nulled.
+  */
+final case class ExtractField(name: String, path: String, castTo: String = "string")
+
+/** One named payload schema for multi-schema topics (reference
+  * `value.converter.schema.names` + per-schema JSON match rules,
+  * README.md:55-73): a record belongs to the FIRST configured schema whose
+  * `matchPath` resolves non-null in its payload JSON, and that schema's
+  * `extract` fields are applied to it. Records matching no schema are
+  * quarantined (the reference throws a Connect exception; quarantine is
+  * this engine's errant-record channel).
+  */
+final case class PayloadSchema(name: String, matchPath: String, extract: Seq[ExtractField])
+
 /** Write-mode analogue of the reference's `insert.mode`
   * (`.../sink/JdbcSinkConfig.java:32-37`). In the engine the mode is
   * carried per-event in `op`, so `MergeSpec` only fixes the keys.
@@ -123,15 +142,30 @@ final case class MergeSpec(
     /** Ingest-time payload-field extraction (reference README.md:97-102
       * "extracting schema fields": a JSON payload field is expanded into
       * named index columns at write time, not query time). Each
-      * (columnName -> jsonPath) pair is evaluated with `get_json_object`
-      * against [[extractSource]] and appended to the after-struct BEFORE
-      * schema evolution, so extracted columns become real nullable table
-      * columns (ALTER-ADD on first sight). Extracted values are strings;
-      * cast downstream if needed. */
-    extractFields: Seq[(String, String)] = Nil,
-    /** The payload column inside `after` that [[extractFields]] paths are
+      * [[ExtractField]] is evaluated with `get_json_object` against
+      * [[extractSource]], cast to its `castTo` type (cast failure ⇒
+      * quarantine), and appended to the after-struct BEFORE schema
+      * evolution, so extracted columns become real nullable table columns
+      * (ALTER-ADD on first sight). Mutually exclusive with
+      * [[payloadSchemas]]. */
+    extractFields: Seq[ExtractField] = Nil,
+    /** The payload column inside `after` that extraction paths are
       * evaluated against. */
-    extractSource: String = "text")
+    extractSource: String = "text",
+    /** Multi-schema payload classification (reference
+      * `value.converter.schema.names`, README.md:55-73): when non-empty,
+      * each record is classified to the first schema whose matchPath is
+      * present in its payload and gets THAT schema's extract columns; the
+      * table carries the union of all schemas' extract columns (a record's
+      * non-matching columns stay null). Unmatched records are quarantined.
+      * Mutually exclusive with [[extractFields]]. */
+    payloadSchemas: Seq[PayloadSchema] = Nil,
+    /** Reference `value.converter.allownonindexed` (README.md:104-114):
+      * when false (default, as in the reference), every payload schema
+      * must extract the SAME target-column set, so each extracted column
+      * is populated (indexable) for every schema; true permits per-schema
+      * column sets. */
+    allowNonIndexed: Boolean = false)
 
 /** Per-turn net action produced by the in-batch fold (SURVEY.md §2.A
   * A5/A6): the single effect this batch has on one (conv_id, turn_idx)

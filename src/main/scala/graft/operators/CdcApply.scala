@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -210,9 +210,8 @@ object CdcApply {
           val actions =
             if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
             else MergeEngine.netActionsViaJoin(valid, wipes)
-          val r = applyMor(spark, table, snap0, normalize(actions), wipes, evolved, epoch, planF)
-          if (!r.skipped) writeQuarantine(r.rejected)
-          r
+          applyMor(spark, table, snap0, normalize(actions), wipes, evolved, epoch, planF,
+            writeQuarantine)
         case _ =>
           val lineage = planAgg(withBuckets = true)
           val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
@@ -269,7 +268,8 @@ object CdcApply {
       wipes: DataFrame,
       evolved: StructType,
       epoch: Option[(String, Long)],
-      lineageF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]]): BatchResult = {
+      lineageF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
+      quarantine: Long => Unit): BatchResult = {
 
     // single-writer sequence: rows are stamped before the commit, so a
     // racing writer (which would steal this version) aborts the commit
@@ -308,6 +308,13 @@ object CdcApply {
     val lineage = scala.concurrent.Await.result(lineageF, scala.concurrent.duration.Duration.Inf)
     val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
     val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
+
+    // Quarantine BEFORE the epoch commit: a crash between commit and a
+    // post-commit quarantine write would lose the rejects permanently
+    // (re-delivery is skipped by the epoch marker, so the dead-letter
+    // write never re-runs). The epoch-partition dynamic overwrite makes
+    // a crash-between-quarantine-and-commit re-run idempotent.
+    quarantine(rejectedCount)
 
     val snap =
       try {
@@ -400,24 +407,96 @@ object CdcApply {
     BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
   }
 
-  /** Ingest-time payload-field extraction (MergeSpec.extractFields): widen
-    * the after-struct with `get_json_object(after.<extractSource>, path)`
-    * columns — pure codegen'd column expressions, evaluated inside the one
-    * full-width batch scan (no extra job, no UDF). The reference does this
-    * as record-transform config before binding (README.md:97-102).
+  /** Ingest-time payload-field extraction + multi-schema classification:
+    * widen the after-struct with `get_json_object(after.<extractSource>,
+    * path)` columns, typed per ExtractField.castTo — pure codegen'd column
+    * expressions, evaluated inside the one full-width batch scan (no extra
+    * job, no UDF). The reference does this as converter/SMT config before
+    * binding (README.md:97-102 extraction, :55-73 schema names,
+    * :152-161 casting).
+    *
+    * Extraction failures (cast failure on a non-null raw value; no payload
+    * schema matched) are carried in a nullable `_extract_error` column that
+    * [[MergeEngine.tagErrors]] folds into the quarantine `_error`.
     */
-  private def extractPayloadFields(events: DataFrame, spec: MergeSpec): DataFrame =
-    if (spec.extractFields.isEmpty) events
+  private def extractPayloadFields(events: DataFrame, spec: MergeSpec): DataFrame = {
+    import graft.model.{ExtractField, PayloadSchema}
+    require(spec.extractFields.isEmpty || spec.payloadSchemas.isEmpty,
+      "configure either extractFields (single-schema) or payloadSchemas (multi-schema), not both")
+    if (spec.extractFields.isEmpty && spec.payloadSchemas.isEmpty) events
     else {
       val afterT = events.schema("after").dataType.asInstanceOf[StructType]
+      val src = col(s"after.`${spec.extractSource}`")
+
+      // union of target columns in first-seen order; each name must have
+      // ONE type across schemas (it becomes one table column)
+      val allFields: Seq[ExtractField] =
+        if (spec.payloadSchemas.isEmpty) spec.extractFields
+        else {
+          val seen = scala.collection.mutable.LinkedHashMap.empty[String, ExtractField]
+          for (s <- spec.payloadSchemas; f <- s.extract) seen.get(f.name) match {
+            case Some(prev) => require(prev.castTo == f.castTo,
+              s"extract column '${f.name}' declared as ${prev.castTo} and ${f.castTo} in different schemas")
+            case None => seen(f.name) = f
+          }
+          if (!spec.allowNonIndexed) {
+            val names = spec.payloadSchemas.map(s => s.extract.map(_.name).toSet)
+            require(names.forall(_ == names.head),
+              "allowNonIndexed=false requires every payload schema to extract the same target columns " +
+                s"(got ${spec.payloadSchemas.map(s => s"${s.name}:${s.extract.map(_.name).mkString("+")}").mkString(", ")})")
+          }
+          seen.values.toSeq
+        }
+      val dupes = allFields.map(_.name).diff(allFields.map(_.name).distinct)
+      require(dupes.isEmpty, s"duplicate extract column names: ${dupes.distinct.mkString(", ")}")
+      val collisions = allFields.map(_.name).toSet.intersect(afterT.fieldNames.toSet)
+      require(collisions.isEmpty,
+        s"extract column names collide with existing payload fields: ${collisions.mkString(", ")} " +
+          "— extracted columns must not shadow envelope fields (rename the extract target)")
+
+      def typed(f: ExtractField, raw: Column): Column =
+        if (f.castTo == "string") raw else raw.try_cast(f.castTo)
+      def castErr(f: ExtractField, raw: Column, gate: Column): Seq[(Column, String)] =
+        if (f.castTo == "string") Nil
+        else Seq((gate && raw.isNotNull && typed(f, raw).isNull,
+          s"extract cast failure: ${f.name} as ${f.castTo}"))
+
+      val (extracted: Seq[Column], errors: Seq[(Column, String)]) =
+        if (spec.payloadSchemas.isEmpty) {
+          val raws = spec.extractFields.map(f => f -> get_json_object(src, f.path))
+          (raws.map { case (f, raw) => typed(f, raw).as(f.name) },
+            raws.flatMap { case (f, raw) => castErr(f, raw, lit(true)) })
+        } else {
+          // first-match classification: schemaName = first schema whose
+          // matchPath is present in the payload
+          def matches(s: PayloadSchema): Column = get_json_object(src, s.matchPath).isNotNull
+          val schemaName = coalesce(
+            spec.payloadSchemas.map(s => when(matches(s), lit(s.name))) :+ lit(null).cast("string"): _*)
+          val perField = allFields.map { f =>
+            val variants = spec.payloadSchemas.flatMap { s =>
+              s.extract.find(_.name == f.name).map(sf => (s, get_json_object(src, sf.path)))
+            }
+            val value = coalesce(variants.map { case (s, raw) =>
+              when(schemaName === s.name, typed(f, raw))
+            } :+ lit(null).cast(f.castTo): _*)
+            val errs = variants.flatMap { case (s, raw) => castErr(f, raw, schemaName === s.name) }
+            (value.as(f.name), errs)
+          }
+          (perField.map(_._1),
+            (schemaName.isNull, "no payload schema matched") +: perField.flatMap(_._2))
+        }
+
+      val extractError = errors
+        .foldLeft(when(col("after").isNull, lit(null).cast("string"))) { case (acc, (cond, msg)) =>
+          acc.when(cond, msg)
+        }
+        .otherwise(null)
       val keep = afterT.fieldNames.toSeq.map(n => col(s"after.`$n`").as(n))
-      val extracted = spec.extractFields.map { case (name, path) =>
-        get_json_object(col(s"after.`${spec.extractSource}`"), path).as(name)
-      }
-      events.withColumn(
-        "after",
-        when(col("after").isNotNull, struct(keep ++ extracted: _*)))
+      events
+        .withColumn("after", when(col("after").isNotNull, struct(keep ++ extracted: _*)))
+        .withColumn("_extract_error", extractError)
     }
+  }
 
   /** Sum of row counts from parquet footers (driver-side metadata reads,
     * fanned out on a thread pool — one file per bucket per epoch adds up,

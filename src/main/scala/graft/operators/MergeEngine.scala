@@ -57,16 +57,22 @@ object MergeEngine {
   // ---------------------------------------------------------------------
   final case class ValidatedBatch(valid: DataFrame, rejected: DataFrame)
 
-  /** Adds a nullable `_error` column (null = valid). */
+  /** Adds a nullable `_error` column (null = valid). A `_extract_error`
+    * column (attached by CdcApply's ingest-time extraction: cast failure,
+    * unmatched payload schema) is folded in and dropped.
+    */
   def tagErrors(events: DataFrame, deleteEnabled: Boolean = true): DataFrame = {
-    val base = when(col("conv_id").isNull, "null key")
+    val base0 = when(col("conv_id").isNull, "null key")
       .when(!col("op").isin("insert", "update", "upsert", "delete"), "unknown op")
       .when(col("op") =!= "delete" && col("after").isNull, "null value for non-tombstone")
       .when(col("op") =!= "delete" && col("turn_idx").isNull, "null upsert-key field turn_idx")
+    val hasExtract = events.columns.contains("_extract_error")
+    val base = if (hasExtract) base0.when(col("_extract_error").isNotNull, col("_extract_error")) else base0
     val err =
       if (deleteEnabled) base.otherwise(null)
       else base.when(col("op") === "delete", "tombstone with delete.enabled=false").otherwise(null)
-    events.withColumn("_error", err)
+    val tagged = events.withColumn("_error", err)
+    if (hasExtract) tagged.drop("_extract_error") else tagged
   }
 
   def validate(events: DataFrame, deleteEnabled: Boolean = true): ValidatedBatch = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.model.{Envelopes, MergeSpec}
+import graft.model.{Envelopes, ExtractField, MergeSpec, PayloadSchema}
 import graft.operators.CdcApply
 import graft.table.IceLite
 
@@ -22,7 +22,7 @@ class ConfigFidelitySpec extends SparkSuite {
       ins(2L, "c2", 0, "not json at all"),
       del(3L, "c2", Some(0)))
     val spec = MergeSpec(
-      extractFields = Seq("lang" -> "$.lang", "score" -> "$.score"),
+      extractFields = Seq(ExtractField("lang", "$.lang"), ExtractField("score", "$.score")),
       extractSource = "text")
     CdcApply.applyBatch(spark, table, eventsDF(spark, evs).withColumnRenamed("schemaV", "schema_v"), spec)
 
@@ -42,13 +42,109 @@ class ConfigFidelitySpec extends SparkSuite {
   test("extraction composes with upsert: last value wins per key") {
     val dir = tmpDir("extract-upsert")
     val table = IceLite.create(s"$dir/t", turnSchema, 4)
-    val spec = MergeSpec(extractFields = Seq("lang" -> "$.lang"))
+    val spec = MergeSpec(extractFields = Seq(ExtractField("lang", "$.lang")))
     val b1 = Seq(ins(0L, "c1", 0, """{"lang":"en"}"""))
     val b2 = Seq(ups(1L, "c1", 0, """{"lang":"de"}"""))
     CdcApply.applyBatch(spark, table, eventsDF(spark, b1).withColumnRenamed("schemaV", "schema_v"), spec)
     CdcApply.applyBatch(spark, table, eventsDF(spark, b2).withColumnRenamed("schemaV", "schema_v"), spec)
     val langs = table.read(spark).select("lang").collect().map(_.getString(0)).toSeq
     assert(langs == Seq("de"))
+  }
+
+  test("typed extraction: castTo lands a real IntegerType column; cast failure quarantines") {
+    val dir = tmpDir("extract-typed")
+    val table = IceLite.create(s"$dir/t", turnSchema, 4)
+    val evs = Seq(
+      ins(0L, "c1", 0, """{"lang":"en","score":3}"""),
+      ins(1L, "c1", 1, """{"lang":"no","score":"not-a-number"}"""), // cast failure -> quarantine
+      ins(2L, "c2", 0, """{"lang":"sv"}"""), // score absent: null, NOT an error
+      del(3L, "c3", Some(0))) // tombstone: after=null, extraction skipped
+    val spec = MergeSpec(
+      extractFields = Seq(ExtractField("lang", "$.lang"), ExtractField("score", "$.score", "int")),
+      extractSource = "text")
+    val r = CdcApply.applyBatch(spark, table,
+      eventsDF(spark, evs).withColumnRenamed("schemaV", "schema_v"), spec,
+      rejectedDir = Some(s"$dir/rej"))
+    assert(r.rejected == 1L)
+
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(table.current.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema("score").dataType == org.apache.spark.sql.types.IntegerType)
+
+    val rows = table.read(spark)
+      .select("conv_id", "turn_idx", "lang", "score")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(rows == Seq(("c1", 0, "en", Some(3)), ("c2", 0, "sv", None)))
+
+    val rej = spark.read.parquet(s"$dir/rej").collect()
+    assert(rej.length == 1)
+    assert(rej.head.getAs[String]("_error") == "extract cast failure: score as int")
+    assert(rej.head.getAs[String]("conv_id") == "c1")
+  }
+
+  test("multi-schema classification: two JSON shapes on one topic get their own extract columns") {
+    val dir = tmpDir("multischema")
+    val table = IceLite.create(s"$dir/t", turnSchema, 4)
+    // shape A (chat): has $.msg; shape B (tool call): has $.call
+    val schemas = Seq(
+      PayloadSchema("chat", "$.msg", Seq(
+        ExtractField("kind", "$.msg.kind"), ExtractField("n", "$.msg.n", "bigint"))),
+      PayloadSchema("toolcall", "$.call", Seq(
+        ExtractField("kind", "$.call.tool"), ExtractField("n", "$.call.args", "bigint"))))
+    val evs = Seq(
+      ins(0L, "a", 0, """{"msg":{"kind":"greeting","n":5}}"""),
+      ins(1L, "a", 1, """{"call":{"tool":"search","args":42}}"""),
+      ins(2L, "b", 0, """{"neither":true}""")) // matches no schema -> quarantine
+    val spec = MergeSpec(payloadSchemas = schemas, extractSource = "text")
+    val r = CdcApply.applyBatch(spark, table,
+      eventsDF(spark, evs).withColumnRenamed("schemaV", "schema_v"), spec,
+      rejectedDir = Some(s"$dir/rej"))
+    assert(r.rejected == 1L)
+
+    val rows = table.read(spark)
+      .select("conv_id", "turn_idx", "kind", "n")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(rows == Seq(("a", 0, "greeting", 5L), ("a", 1, "search", 42L)))
+
+    val rej = spark.read.parquet(s"$dir/rej").collect()
+    assert(rej.map(_.getAs[String]("_error")).toSeq == Seq("no payload schema matched"))
+  }
+
+  test("multi-schema config validation: allowNonIndexed + name collisions + type conflicts") {
+    val dir = tmpDir("multischema-val")
+    val table = IceLite.create(s"$dir/t", turnSchema, 4)
+    val ev = eventsDF(spark, Seq(ins(0L, "c", 0, """{"a":1}""")))
+      .withColumnRenamed("schemaV", "schema_v")
+    def apply(spec: MergeSpec) = CdcApply.applyBatch(spark, table, ev, spec)
+
+    // allowNonIndexed=false (reference default): column sets must agree
+    val uneven = Seq(
+      PayloadSchema("s1", "$.a", Seq(ExtractField("x", "$.a"))),
+      PayloadSchema("s2", "$.b", Seq(ExtractField("y", "$.b"))))
+    val e1 = intercept[IllegalArgumentException](apply(MergeSpec(payloadSchemas = uneven)))
+    assert(e1.getMessage.contains("allowNonIndexed"))
+    // same spec is admitted when allowNonIndexed=true
+    apply(MergeSpec(payloadSchemas = uneven, allowNonIndexed = true))
+
+    // one target column, two declared types -> rejected
+    val conflict = Seq(
+      PayloadSchema("s1", "$.a", Seq(ExtractField("x", "$.a", "int"))),
+      PayloadSchema("s2", "$.b", Seq(ExtractField("x", "$.b", "bigint"))))
+    val e2 = intercept[IllegalArgumentException](apply(MergeSpec(payloadSchemas = conflict)))
+    assert(e2.getMessage.contains("declared as int and bigint"))
+
+    // extract name shadowing an envelope payload field -> rejected
+    val e3 = intercept[IllegalArgumentException](
+      apply(MergeSpec(extractFields = Seq(ExtractField("text", "$.t")))))
+    assert(e3.getMessage.contains("collide"))
+
+    // both mechanisms at once -> rejected
+    val e4 = intercept[IllegalArgumentException](
+      apply(MergeSpec(extractFields = Seq(ExtractField("x", "$.a")), payloadSchemas = uneven)))
+    assert(e4.getMessage.contains("not both"))
   }
 
   test("primitive record key: key column maps to conv_id; tombstone is a series delete") {
