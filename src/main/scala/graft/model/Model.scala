@@ -139,6 +139,18 @@ final case class MergeSpec(
       * than this many delta files (bounds read-time merge work and makes
       * write amplification O(state/threshold) amortized, not O(state)). */
     morCompactThreshold: Int = 16,
+    /** MOR only: compact at most this many buckets per epoch (most-
+      * backlogged first; <=0 = unbounded). Uniformly-filling buckets all
+      * cross the threshold at the same epoch; an unbudgeted compaction
+      * then rewrites the whole table inline in the ingest path (measured
+      * 7-9x epoch stall). The budget caps the inline work per epoch and
+      * lets the backlog drain over the next epochs — after the first
+      * drain the schedule itself keeps bucket phases spread. */
+    morCompactBudget: Int = 8,
+    /** MOR only: de-synchronize the FIRST compaction wave by lowering
+      * each bucket's effective threshold by a deterministic per-bucket
+      * offset in [0, stagger] (0 = off). */
+    morCompactStagger: Int = 4,
     /** Ingest-time payload-field extraction (reference README.md:97-102
       * "extracting schema fields": a JSON payload field is expanded into
       * named index columns at write time, not query time). Each

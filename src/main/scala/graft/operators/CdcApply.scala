@@ -250,9 +250,13 @@ object CdcApply {
       }
       // amortized copy-on-write moment: fold delta-heavy buckets back to
       // base files (bounds read-time merge work; per-batch write cost
-      // stays O(changes + state/threshold) amortized)
+      // stays O(changes + state/threshold) amortized). Budgeted: at most
+      // morCompactBudget buckets per epoch so a synchronized threshold
+      // crossing can never stall an epoch with a full-table rewrite.
       if (spec.mergeStrategy == "mor" && spec.morCompactThreshold > 0)
-        table.compactDeltas(spark, spec.morCompactThreshold)
+        table.compactDeltas(spark, spec.morCompactThreshold,
+          maxBuckets = if (spec.morCompactBudget > 0) spec.morCompactBudget else Int.MaxValue,
+          stagger = spec.morCompactStagger)
       result
     }
   }

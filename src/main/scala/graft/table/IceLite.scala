@@ -210,15 +210,40 @@ final class IceLiteTable(val dir: String) {
     fragmented.size
   }
 
-  /** Fold outstanding MOR delta files back into base files for every
-    * bucket holding more than `maxDeltasPerBucket` of them — the
-    * copy-on-write moment, amortized (Iceberg's rewrite_data_files +
-    * delete-file removal). Returns the number of buckets compacted.
+  /** Fold outstanding MOR delta files back into base files for buckets
+    * holding more than `maxDeltasPerBucket` of them — the copy-on-write
+    * moment, amortized (Iceberg's rewrite_data_files + delete-file
+    * removal). Returns the number of buckets compacted.
+    *
+    * Bounded-work mode (`maxBuckets`): compact at most that many buckets
+    * per call, most-backlogged first. Uniformly-filling buckets would
+    * otherwise ALL cross the threshold at the same epoch and the ingest
+    * path would pay one full-table rewrite inline (measured as a 7-9x
+    * epoch stall); the budget caps each epoch's compaction work at a
+    * fixed fraction while the backlog drains over the following epochs,
+    * after which the drain schedule itself keeps bucket phases spread.
+    * `stagger` additionally lowers each bucket's effective threshold by a
+    * deterministic per-bucket offset in [0, stagger], de-synchronizing
+    * the FIRST wave too.
     */
-  def compactDeltas(spark: SparkSession, maxDeltasPerBucket: Int = 0): Int = {
+  def compactDeltas(
+      spark: SparkSession,
+      maxDeltasPerBucket: Int = 0,
+      maxBuckets: Int = Int.MaxValue,
+      stagger: Int = 0): Int = {
     import org.apache.spark.sql.functions.col
     val cur = current
-    val targets = cur.deltas.filter(_._2.size > maxDeltasPerBucket).keys.toSet
+    // stagger never halves a bucket's threshold (a small-threshold table
+    // would otherwise degrade to compact-every-epoch for some buckets)
+    val effStagger = math.min(stagger, maxDeltasPerBucket / 2)
+    def thresholdFor(b: Int): Int =
+      if (effStagger <= 0) maxDeltasPerBucket
+      else maxDeltasPerBucket - ((b * 2654435761L) % (effStagger + 1)).toInt
+    val targets = cur.deltas
+      .filter { case (b, fs) => fs.size > thresholdFor(b) }
+      .toSeq.sortBy { case (b, fs) => (-fs.size, b) }
+      .take(math.max(0, maxBuckets))
+      .map(_._1).toSet
     if (targets.isEmpty) return 0
     val sch = schemaOf(cur)
     val merged = MorRead.merged(spark, sch,

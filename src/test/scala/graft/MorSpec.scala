@@ -66,6 +66,35 @@ class MorSpec extends SparkSuite {
       want.map(x => (x.conv_id, x.turn_idx, x.text)))
   }
 
+  test("budgeted compaction: at most morCompactBudget buckets per epoch, backlog drains, state correct") {
+    val dir = tmpDir("mor-budget") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val log = randomLog(new Random(23), 600, 12, 4)
+    // threshold 3, 4 buckets => steady-state compaction demand ~4/3 buckets
+    // per epoch; budget 2 is sustainable but can never compact all buckets
+    // in one epoch (the synchronized-wave stall this bounds)
+    val spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 3,
+      morCompactBudget = 2, morCompactStagger = 0)
+    var sawBacklog = false
+    log.grouped(40).zipWithIndex.foreach { case (b, i) =>
+      CdcApply.applyBatch(spark, t, eventsDF(spark, b), spec = spec, epoch = Some(("bg", i.toLong)))
+      val snap = t.current
+      snap.metrics.get("bucketsCompacted").foreach { n =>
+        assert(n <= 2, s"epoch $i compacted $n buckets, over the budget of 2")
+      }
+      val counts = snap.deltas.view.mapValues(_.size)
+      if (counts.exists(_._2 > spec.morCompactThreshold)) sawBacklog = true
+      counts.foreach { case (bk, n) =>
+        assert(n <= spec.morCompactThreshold + 4,
+          s"bucket $bk backlog $n diverged (epoch $i) — budget not keeping up")
+      }
+    }
+    assert(sawBacklog, "test never exercised a deferred (over-threshold) bucket — weaken budget or threshold")
+    val want = OracleFold.rows(OracleFold.finalState(log))
+    assert(readTable(spark, t).map(x => (x.conv_id, x.turn_idx, x.text)) ==
+      want.map(x => (x.conv_id, x.turn_idx, x.text)))
+  }
+
   test("schema drift across mor deltas survives read-merge and compaction") {
     val dir = tmpDir("mor-drift") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)
