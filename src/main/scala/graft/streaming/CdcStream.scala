@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
+import com.fasterxml.jackson.databind.ObjectMapper
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -51,7 +53,15 @@ object CdcStream {
     * Exactly-once holds per table (each commits its own epoch marker), so
     * a crash mid-routing re-applies only the not-yet-committed topics.
     */
-  final case class Routing(tableDirTemplate: String, topicColumn: String = "topic")
+  final case class Routing(
+      tableDirTemplate: String,
+      topicColumn: String = "topic",
+      /** Per-epoch apply parallelism across topics: each topic's table is
+        * independent (own epoch marker, own quarantine partition), so their
+        * applies are submitted as concurrent Spark jobs — N topics no
+        * longer serialize N driver-side plan+commit regions per epoch.
+        * Bounded so one epoch cannot flood the scheduler. */
+      maxConcurrentTopics: Int = 4)
 
   final case class StreamConfig(
       logDir: String,
@@ -73,7 +83,16 @@ object CdcStream {
         * per-epoch re-resolution cost; drift columns wait for a restart. */
       schemaMode: String = "drift",
       /** multi-table topic routing; None = single-table (tableDir). */
-      routing: Option[Routing] = None)
+      routing: Option[Routing] = None,
+      /** Automatic metadata maintenance: every this many epochs, expire
+        * old snapshots (keeping [[keepSnapshots]]) on every table this
+        * stream writes — bounding the snapshot chain + on-disk metadata
+        * without an operator running maintenance by hand. Driver-side
+        * file work only, no Spark jobs. <=0 disables. */
+      maintenanceEvery: Int = 64,
+      /** Snapshots kept per table by automatic maintenance (time-travel
+        * window; expiry deletes orphaned data files of older versions). */
+      keepSnapshots: Int = 8)
 
   /** Start (or resume, given the same checkpointDir) the ingest stream.
     * Creates the table on first use with the log's after-struct schema.
@@ -121,33 +140,87 @@ object CdcStream {
               cfg.spec, epoch = Some((cfg.streamId, epochId)))
           }
         }
-        cfg.routing match {
+        val touchedTables: Seq[IceLiteTable] = cfg.routing match {
           case None =>
             CdcApply.applyBatch(
               spark, table.get, batch, cfg.spec,
               epoch = Some((cfg.streamId, epochId)),
               rejectedDir = cfg.rejectedDir)
+            Seq(table.get)
           case Some(r) =>
             // one narrow distinct over the batch (topic column only);
             // topic count is bounded by the upstream subscription
             val topics = batch.select(col(r.topicColumn).cast("string"))
               .na.drop().distinct().collect().map(_.getString(0)).sorted
-            topics.foreach { t =>
-              val dir = r.tableDirTemplate.replace("${topic}", t)
-              val afterT = batch.schema("after").dataType.asInstanceOf[StructType]
-              val tbl = loadOrCreate(dir, afterT, cfg.spec)
-              CdcApply.applyBatch(
-                spark, tbl,
-                batch.filter(col(r.topicColumn) === t).drop(r.topicColumn),
-                cfg.spec,
-                epoch = Some((cfg.streamId, epochId)),
-                rejectedDir = cfg.rejectedDir.map(d => s"$d/topic=$t"))
-            }
+            // bounded-concurrency fan-out: per-topic applies are
+            // independent Spark jobs + commits; running them on a small
+            // pool overlaps their driver-side planning/commit regions
+            // (serial per-topic application measured as N x epoch latency)
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.max(1, math.min(topics.length, r.maxConcurrentTopics)))
+            val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            try {
+              val applies = topics.map { t =>
+                Future {
+                  val dir = r.tableDirTemplate.replace("${topic}", t)
+                  val slice0 = batch.filter(col(r.topicColumn) === t).drop(r.topicColumn)
+                  // per-topic schema: a first-sight table is created with —
+                  // and an existing table ALTER-ADDs only — the drift
+                  // columns actually PRESENT in this topic's slice, not the
+                  // whole batch's union envelope (reference: per-topic
+                  // table schemas, README.md:55-73)
+                  val existing = if (IceLite.exists(dir)) Some(IceLite.load(dir).schema) else None
+                  val slice = pruneAbsentDriftColumns(slice0, existing)
+                  val tbl = existing match {
+                    case Some(_) => IceLite.load(dir)
+                    case None => loadOrCreate(dir,
+                      slice.schema("after").dataType.asInstanceOf[StructType], cfg.spec)
+                  }
+                  CdcApply.applyBatch(
+                    spark, tbl, slice, cfg.spec,
+                    epoch = Some((cfg.streamId, epochId)),
+                    rejectedDir = cfg.rejectedDir.map(d => s"$d/topic=$t"))
+                  tbl
+                }(ec)
+              }
+              applies.map(Await.result(_, Duration.Inf))
+            } finally { ec.shutdown() }
         }
         logAppend.foreach(Await.result(_, Duration.Inf))
+        // automatic metadata maintenance on a cadence: bound the snapshot
+        // chain and GC orphaned files of expired versions (driver-side
+        // only). Crash-safe: expiry is idempotent and never touches files
+        // referenced by surviving snapshots.
+        if (cfg.maintenanceEvery > 0 && (epochId + 1) % cfg.maintenanceEvery == 0)
+          (touchedTables ++ logTable).foreach(_.expireSnapshots(cfg.keepSnapshots))
         ()
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Restrict a routed slice's after-struct to columns its table already
+    * has plus drift columns with at least one non-null value IN THIS
+    * SLICE. Candidate columns are only those not yet in the table schema,
+    * so the steady (drift-free) state runs no job at all; with drift
+    * pending, one aggregate scans just the candidate columns
+    * (column-pruned). Keeps routed tables on per-topic schemas instead of
+    * the batch's union envelope.
+    */
+  private[streaming] def pruneAbsentDriftColumns(
+      slice: DataFrame, tableSchema: Option[StructType]): DataFrame = {
+    val afterT = slice.schema("after").dataType.asInstanceOf[StructType]
+    val known: Set[String] = tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    val candidates = afterT.fieldNames.toSeq.filterNot(known.contains)
+    if (candidates.isEmpty) return slice
+    val counts = slice.agg(
+      count(col(s"after.`${candidates.head}`")).as(candidates.head),
+      candidates.tail.map(c => count(col(s"after.`$c`")).as(c)): _*).collect()(0)
+    val dead = candidates.filter(c => counts.getAs[Long](c) == 0L).toSet
+    val keep = afterT.fieldNames.toSeq.filterNot(dead.contains)
+    // never prune to an empty struct (an all-tombstone first-sight slice)
+    if (dead.isEmpty || keep.isEmpty) slice
+    else slice.withColumn("after",
+      when(col("after").isNotNull, struct(keep.map(n => col(s"after.`$n`").as(n)): _*)))
   }
 
   private def loadOrCreate(
@@ -178,27 +251,33 @@ object CdcStream {
     * carry the whole history, tagged by `batchId`). Returns None on any
     * surprise so the caller can fall back.
     */
-  private[streaming] def batchFiles(checkpointDir: String, batchId: Long): Option[Seq[String]] =
+  private[streaming] def batchFiles(checkpointDir: String, batchId: Long): Option[Seq[String]] = {
     try {
       val dir = Paths.get(checkpointDir, "sources", "0")
       val plain = dir.resolve(batchId.toString)
       val f = if (Files.exists(plain)) plain else dir.resolve(s"$batchId.compact")
       if (!Files.exists(f)) return None
-      val pathRe = "\"path\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      val batchRe = "\"batchId\":(-?\\d+)".r
       val lines = Files.readAllLines(f).asScala
       if (lines.isEmpty || lines.head.trim != "v1") return None
-      val out = lines.iterator.drop(1).filter(_.nonEmpty).flatMap { ln =>
-        val bid = batchRe.findFirstMatchIn(ln).map(_.group(1).toLong)
-        if (bid.contains(batchId))
-          pathRe.findFirstMatchIn(ln).map(m =>
-            m.group(1).replace("\\/", "/").replace("\\\\", "\\"))
-        else None
-      }.toVector
+      // full JSON parse per entry (not a regex scan): a path containing
+      // any escape (\", \uXXXX, ...) must round-trip exactly or be
+      // rejected — the contract is "never a wrong file list"
+      val mapper = new ObjectMapper()
+      val out = Vector.newBuilder[String]
+      val it = lines.iterator.drop(1).filter(_.trim.nonEmpty)
+      while (it.hasNext) {
+        val node = mapper.readTree(it.next()) // malformed line -> catch -> None
+        val path = node.get("path")
+        val bid = node.get("batchId")
+        if (path == null || bid == null || !path.isTextual) return None // format surprise
+        if (bid.asLong() == batchId) out += path.asText()
+      }
+      val files = out.result()
       // no entries for this batch = either a legitimately empty batch or a
       // format surprise — be conservative, let the caller fall back
-      if (out.isEmpty) None else Some(out)
+      if (files.isEmpty) None else Some(files)
     } catch { case NonFatal(_) => None }
+  }
 
   /** Run to completion over the currently-available log and return the table. */
   def runAvailable(spark: SparkSession, cfg: StreamConfig): IceLiteTable = {

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.StructType
   *
   * Layout:
   * {{{
-  *   <dir>/snap/v0000000001.json     // one immutable snapshot per commit
+  *   <dir>/snap/v0000000001.json     // one immutable snapshot DIFF per commit
+  *   <dir>/snap/c0000000032.json     // periodic full-state checkpoint
   *   <dir>/data/<commitUuid>/b=<bucket>/part-*.parquet
   * }}}
   *
@@ -28,6 +29,17 @@ import org.apache.spark.sql.types.StructType
   * leaves only unreferenced orphan files. Snapshot `properties` carry the
   * free-form commit bookkeeping — `(epoch, offsetRange)` for exactly-once
   * streaming — mirroring Iceberg snapshot summaries.
+  *
+  * Metadata scale (Iceberg's manifest-list idea, re-shaped for a linear
+  * single-writer log): each published v-file holds only the DIFF of the
+  * per-bucket file lists against its parent — O(files added/replaced this
+  * commit), NOT O(live files). A MOR append epoch therefore writes and a
+  * tailing driver parses O(changes) metadata regardless of table size;
+  * the full per-bucket listing is materialized only in periodic
+  * checkpoint files (`c*.json`, every [[IceLite.CheckpointEvery]] commits,
+  * at create, and at the expiry boundary). State reads fold
+  * checkpoint + diffs, memoized per table handle so a streaming driver
+  * folds exactly one diff per epoch.
   *
   * Data is hash-bucketed by conv_id (`bucket = pmod(xxhash64(conv_id), P)`,
   * reference analogue: `PARTITION BY HASH` DDL,
@@ -59,8 +71,49 @@ final class IceLiteTable(val dir: String) {
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
         .toSeq).sorted
 
-  def snapshot(version: Long): Snapshot =
-    readSnapshot(snapDir.resolve(f"v$version%010d.json"))
+  private def listCheckpointVersions: Seq[Long] =
+    if (!Files.isDirectory(snapDir)) Seq.empty
+    else
+      listDir(snapDir)(_.map(_.getFileName.toString)
+        .filter(n => n.startsWith("c") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("c").stripSuffix(".json").toLong)
+        .toSeq).sorted
+
+  private def vFile(v: Long): Path = snapDir.resolve(f"v$v%010d.json")
+  private def cFile(v: Long): Path = snapDir.resolve(f"c$v%010d.json")
+
+  // Memoized folded state (immutable value; volatile write). A streaming
+  // driver calls current every epoch with a monotonically increasing
+  // version, so each call folds exactly ONE new diff on top of the cache
+  // instead of re-parsing the whole per-bucket file listing (the
+  // O(live-files)-per-epoch driver cost this format removes).
+  @volatile private var stateCache: Snapshot = _
+
+  /** Full table state as of `version`: nearest checkpoint (or the memoized
+    * fold, whichever is closer) + the diff chain up to `version`.
+    */
+  def snapshot(version: Long): Snapshot = {
+    val c = stateCache
+    if (c != null && c.version == version) return c
+    var s: Snapshot = {
+      val ckv = listCheckpointVersions.filter(_ <= version) match {
+        case Seq() => None
+        case vs    => Some(vs.max)
+      }
+      val cacheUsable = c != null && c.version < version
+      ckv match {
+        case Some(k) if !cacheUsable || k > c.version => readCheckpoint(cFile(k))
+        case _ if cacheUsable => c
+        case _ => throw new IllegalStateException(
+          s"no checkpoint at or below version $version in $snapDir — corrupt or expired table metadata")
+      }
+    }
+    while (s.version < version)
+      s = fold(s, readDiff(vFile(s.version + 1)))
+    val c2 = stateCache
+    if (c2 == null || version > c2.version) stateCache = s
+    s
+  }
 
   def current: Snapshot = snapshot(currentVersion)
 
@@ -158,10 +211,33 @@ final class IceLiteTable(val dir: String) {
     def refs(s: Snapshot): Iterable[String] = s.files.values.flatten ++ s.deltas.values.flatten
     val versions = listSnapshotVersions
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
-    val live: Set[String] = keep.flatMap(v => refs(snapshot(v))).toSet
-    val dead = drop.flatMap(v => refs(snapshot(v))).toSet -- live
+    if (drop.isEmpty) return (0, 0)
+    // ONE forward fold over the whole chain (snapshot(v) per version would
+    // re-walk from a checkpoint each time), collecting per-version refs
+    // and the state at the expiry boundary.
+    var s = snapshot(versions.head)
+    val isDrop = drop.toSet
+    val deadRefs = scala.collection.mutable.Set.empty[String]
+    val liveRefs = scala.collection.mutable.Set.empty[String]
+    var boundary: Snapshot = null
+    def record(x: Snapshot): Unit = {
+      (if (isDrop(x.version)) deadRefs else liveRefs) ++= refs(x)
+      if (keep.headOption.contains(x.version)) boundary = x
+    }
+    record(s)
+    versions.tail.foreach { v => s = fold(s, readDiff(vFile(v))); record(s) }
+    // The oldest SURVIVING version must stay readable after its ancestor
+    // diffs are gone: checkpoint it first, then drop diffs + checkpoints
+    // below the boundary.
+    if (boundary != null && !Files.exists(cFile(boundary.version)))
+      writeAtomically(cFile(boundary.version), toJson(boundary))
+    val dead = deadRefs.toSet -- liveRefs
     dead.foreach(rel => Files.deleteIfExists(Paths.get(dir).resolve(rel)))
-    drop.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%010d.json")))
+    drop.foreach(v => Files.deleteIfExists(vFile(v)))
+    keep.headOption.foreach { b => listCheckpointVersions.filter(_ < b).foreach(v => Files.deleteIfExists(cFile(v))) }
+    // the memoized fold may reference an expired ancestor chain only via
+    // values (immutable) — safe to keep; readers of kept versions fold
+    // from the new boundary checkpoint.
     // sweep now-empty commit dirs
     if (Files.isDirectory(dataDir))
       listDir(dataDir)(_.filter(Files.isDirectory(_)).toSeq).foreach { d =>
@@ -276,6 +352,11 @@ final class IceLiteTable(val dir: String) {
   /** CAS commit: build the child snapshot from the freshly-read current
     * one, publish as version+1 via atomic create-if-absent. Retries on
     * losing a race (another writer published first).
+    *
+    * The published v-file is the DIFF against the parent — O(this
+    * commit's changes). Every [[IceLite.CheckpointEvery]] commits a full
+    * checkpoint is also written (best-effort: a crash before it costs
+    * nothing — readers fold from the previous checkpoint).
     */
   def commit(build: Snapshot => Snapshot, maxRetries: Int = 5): Snapshot = {
     var attempt = 0
@@ -285,14 +366,18 @@ final class IceLiteTable(val dir: String) {
       val base = Option(parent).getOrElse(
         throw new IllegalStateException(s"table $dir has no snapshots — create() first"))
       val next = build(base).copy(version = parentV + 1, parentVersion = parentV)
-      val target = snapDir.resolve(f"v${next.version}%010d.json")
+      val target = vFile(next.version)
       val tmp = snapDir.resolve(s".tmp-${UUID.randomUUID()}.json")
-      Files.writeString(tmp, toJson(next))
+      Files.writeString(tmp, diffJson(next, base))
       try {
         // link(2) is an atomic put-if-absent: fails iff target exists.
         // (rename(2)/ATOMIC_MOVE silently replaces on POSIX — not a CAS.)
         Files.createLink(target, tmp)
         Files.deleteIfExists(tmp)
+        val c = stateCache
+        if (c == null || next.version > c.version) stateCache = next
+        if (next.version % CheckpointEvery == 0 && !Files.exists(cFile(next.version)))
+          writeAtomically(cFile(next.version), toJson(next))
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -343,8 +428,135 @@ object IceLite {
       deltas: Map[Int, Seq[String]] = Map.empty,
       lastDeltaSeq: Long = 0L)
 
+  /** Cadence of full-state checkpoint files. Between checkpoints each
+    * commit stores only its diff, so a cold open folds at most this many
+    * diffs; a warm (memoized) reader folds exactly one per commit.
+    */
+  val CheckpointEvery: Int = 32
+
   private val mapper = new ObjectMapper()
 
+  /** Per-bucket file-list change: `set` replaces the bucket's list (empty
+    * = remove the bucket), `add` appends. Exactly one is used per entry.
+    */
+  private[table] final case class BucketOp(set: Option[Seq[String]], add: Seq[String])
+
+  /** The on-disk v-file payload: everything of a [[Snapshot]] except that
+    * the (unboundedly growing) per-bucket file lists are stored as diffs
+    * against the parent version.
+    */
+  private[table] final case class SnapshotDiff(
+      version: Long,
+      parentVersion: Long,
+      schemaJson: String,
+      numBuckets: Int,
+      filesOps: Map[Int, BucketOp],
+      deltasOps: Map[Int, BucketOp],
+      properties: Map[String, String],
+      metrics: Map[String, Long],
+      lastDeltaSeq: Long)
+
+  private def mapOps(parent: Map[Int, Seq[String]], child: Map[Int, Seq[String]]): Map[Int, BucketOp] =
+    (parent.keySet ++ child.keySet).iterator.flatMap { b =>
+      (parent.get(b), child.get(b)) match {
+        case (p, c) if p == c => None
+        case (Some(p), Some(c)) if c.size > p.size && c.startsWith(p) =>
+          Some(b -> BucketOp(None, c.drop(p.size)))
+        case (_, Some(c)) => Some(b -> BucketOp(Some(c), Nil))
+        case (_, None)    => Some(b -> BucketOp(Some(Nil), Nil))
+      }
+    }.toMap
+
+  private def applyOps(parent: Map[Int, Seq[String]], ops: Map[Int, BucketOp]): Map[Int, Seq[String]] =
+    ops.foldLeft(parent) { case (m, (b, op)) =>
+      op.set match {
+        case Some(s) if s.isEmpty => m - b
+        case Some(s)              => m.updated(b, s)
+        case None                 => m.updated(b, m.getOrElse(b, Seq.empty) ++ op.add)
+      }
+    }
+
+  private[table] def fold(parent: Snapshot, d: SnapshotDiff): Snapshot = {
+    require(d.parentVersion == parent.version,
+      s"diff v${d.version} folds onto v${d.parentVersion}, not v${parent.version}")
+    Snapshot(
+      version = d.version,
+      parentVersion = d.parentVersion,
+      schemaJson = d.schemaJson,
+      numBuckets = d.numBuckets,
+      files = applyOps(parent.files, d.filesOps),
+      properties = d.properties,
+      metrics = d.metrics,
+      deltas = applyOps(parent.deltas, d.deltasOps),
+      lastDeltaSeq = d.lastDeltaSeq)
+  }
+
+  private[table] def diffJson(child: Snapshot, parent: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", child.version)
+    root.put("parentVersion", child.parentVersion)
+    root.put("schemaJson", child.schemaJson)
+    root.put("numBuckets", child.numBuckets)
+    root.put("lastDeltaSeq", child.lastDeltaSeq)
+    def putOps(name: String, ops: Map[Int, BucketOp]): Unit = {
+      val node = root.putObject(name)
+      ops.toSeq.sortBy(_._1).foreach { case (b, op) =>
+        val o = node.putObject(b.toString)
+        op.set match {
+          case Some(s) => val arr = o.putArray("set"); s.foreach(arr.add)
+          case None    => val arr = o.putArray("add"); op.add.foreach(arr.add)
+        }
+      }
+    }
+    putOps("filesOps", mapOps(parent.files, child.files))
+    putOps("deltasOps", mapOps(parent.deltas, child.deltas))
+    val props = root.putObject("properties")
+    child.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    val mets = root.putObject("metrics")
+    child.metrics.toSeq.sortBy(_._1).foreach { case (k, v) => mets.put(k, v) }
+    root.toPrettyString
+  }
+
+  private[table] def readDiff(path: Path): SnapshotDiff = {
+    val root = mapper.readTree(Files.readString(path))
+    def ops(name: String): Map[Int, BucketOp] = {
+      val n = root.get(name).asInstanceOf[ObjectNode]
+      n.fields().asScala.map { e =>
+        val set = Option(e.getValue.get("set")).map(_.elements().asScala.map(_.asText()).toSeq)
+        val add = Option(e.getValue.get("add")).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        e.getKey.toInt -> BucketOp(set, add)
+      }.toMap
+    }
+    def strMap(name: String): Map[String, String] = {
+      val n = root.get(name).asInstanceOf[ObjectNode]
+      n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    SnapshotDiff(
+      version = root.get("version").asLong(),
+      parentVersion = root.get("parentVersion").asLong(),
+      schemaJson = root.get("schemaJson").asText(),
+      numBuckets = root.get("numBuckets").asInt(),
+      filesOps = ops("filesOps"),
+      deltasOps = ops("deltasOps"),
+      properties = strMap("properties"),
+      metrics = {
+        val n = root.get("metrics").asInstanceOf[ObjectNode]
+        n.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      },
+      lastDeltaSeq = root.get("lastDeltaSeq").asLong())
+  }
+
+  private[table] def readCheckpoint(path: Path): Snapshot = readSnapshot(path)
+
+  private[table] def writeAtomically(target: Path, content: String): Unit = {
+    val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, content)
+    try Files.createLink(target, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Full-state (checkpoint) serialization. */
   def toJson(s: Snapshot): String = {
     val root = mapper.createObjectNode()
     root.put("version", s.version)
@@ -394,17 +606,21 @@ object IceLite {
       lastDeltaSeq = Option(root.get("lastDeltaSeq")).map(_.asLong()).getOrElse(0L))
   }
 
-  /** Create an empty table (snapshot v1, no files). */
+  /** Create an empty table (snapshot v1, no files) with its base
+    * checkpoint c1 (the fold anchor for every later diff).
+    */
   def create(dir: String, schema: StructType, numBuckets: Int): IceLiteTable = {
     val snapDir = Paths.get(dir, "snap")
     Files.createDirectories(snapDir)
     Files.createDirectories(Paths.get(dir, "data"))
     val s = Snapshot(1L, 0L, schema.json, numBuckets, Map.empty, Map.empty, Map.empty)
+    val empty = Snapshot(0L, 0L, s.schemaJson, numBuckets, Map.empty, Map.empty, Map.empty)
     val target = snapDir.resolve(f"v${1L}%010d.json")
     val tmp = snapDir.resolve(s".tmp-${UUID.randomUUID()}.json")
-    Files.writeString(tmp, toJson(s))
+    Files.writeString(tmp, diffJson(s, empty))
     Files.createLink(target, tmp)
     Files.deleteIfExists(tmp)
+    writeAtomically(snapDir.resolve(f"c${1L}%010d.json"), toJson(s))
     new IceLiteTable(dir)
   }
 

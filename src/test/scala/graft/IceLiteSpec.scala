@@ -59,6 +59,41 @@ class IceLiteSpec extends SparkSuite {
     assert(back == s)
   }
 
+  test("diff snapshot log: metadata bytes per commit stay O(changes), not O(live files)") {
+    val dir = tmpDir("icelite-diff") + "/t"
+    val t = IceLite.create(dir, turnSchema, 8)
+    // 200 MOR-style append commits: live file count grows 200x
+    val sizes = (1 to 200).map { i =>
+      t.commit { p =>
+        val b = i % 8
+        p.copy(
+          deltas = p.deltas.updated(b, p.deltas.getOrElse(b, Seq.empty) :+ s"data/u$i/bucket=$b/f$i.parquet"),
+          lastDeltaSeq = p.version + 1,
+          properties = p.properties + ("epoch:s" -> i.toString),
+          metrics = Map("rowsWritten" -> i.toLong))
+      }
+      Files.size(java.nio.file.Paths.get(dir, "snap", f"v${t.currentVersion}%010d.json"))
+    }
+    // per-commit metadata must stay flat while the referenced-file set grows
+    val early = sizes.slice(10, 30).sum / 20.0
+    val late = sizes.takeRight(20).sum / 20.0
+    assert(late < early * 1.5, s"diff size grew with table size: early=$early late=$late")
+
+    // a cold handle folds checkpoint + diffs to the writer's exact state
+    val t2 = IceLite.load(dir)
+    assert(t2.current == t.current)
+    assert(t2.current.deltas.values.map(_.size).sum == 200)
+
+    // expiry checkpoints the boundary so kept versions stay readable
+    // without their expired ancestor diffs
+    val (snaps, _) = t.expireSnapshots(keepLast = 5)
+    assert(snaps == 196) // created v1 + 200 commits, keep last 5
+    val t3 = IceLite.load(dir)
+    assert(t3.current == t.current)
+    val oldest = t.currentVersion - 4
+    assert(t3.snapshot(oldest).version == oldest)
+  }
+
   test("schema evolution e2e: v1 files (no tool) readable after v2 batch adds tool") {
     import org.apache.spark.sql.types._
     val v1Schema = StructType(turnSchema.fields.filterNot(_.name == "tool"))

@@ -108,8 +108,12 @@ class StreamingSpec extends SparkSuite {
 
   test("topic-to-table routing: ${topic} template, one table per topic, exactly-once per table") {
     val root = tmpDir("stream-route")
+    // cA's first turn carries a non-null `tool` -> only topic alpha's
+    // table should get the column (per-topic schemas, not the batch's
+    // union envelope)
     val evs = Seq(
-      ins(0L, "cA", 0, "a0"), ins(1L, "cA", 1, "a1"),
+      ins(0L, "cA", 0, "a0").copy(after = Some(turn("cA", 0, "a0", 0L).copy(tool = "grep"))),
+      ins(1L, "cA", 1, "a1"),
       ins(2L, "cB", 0, "b0"), del(3L, "cA", Some(1)))
     eventsDF(spark, evs)
       .withColumn("schema_v", lit(2)).drop("schemaV")
@@ -122,10 +126,16 @@ class StreamingSpec extends SparkSuite {
     val q = CdcStream.start(spark, sc)
     q.awaitTermination()
 
+    def triples(t: graft.table.IceLiteTable) = t.read(spark)
+      .select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2)).toSeq
     val ta = IceLite.load(s"$root/tables/alpha")
     val tb = IceLite.load(s"$root/tables/beta")
-    assert(stateTriples(ta) == Seq(("cA", 0, "a0")))
-    assert(stateTriples(tb) == Seq(("cB", 0, "b0")))
+    assert(triples(ta) == Seq(("cA", 0, "a0")))
+    assert(triples(tb) == Seq(("cB", 0, "b0")))
+    assert(ta.schema.fieldNames.contains("tool"), "alpha saw a non-null tool value")
+    assert(!tb.schema.fieldNames.contains("tool"),
+      "beta never carried tool — routed table must not inherit the union envelope")
     assert(!java.nio.file.Files.exists(Paths.get(s"$root/unused")),
       "routing mode must not create the unrouted table")
 
@@ -140,7 +150,26 @@ class StreamingSpec extends SparkSuite {
     q2.awaitTermination()
     assert(IceLite.load(s"$root/tables/alpha").currentVersion == vA)
     assert(IceLite.load(s"$root/tables/beta").currentVersion == vB)
-    assert(stateTriples(IceLite.load(s"$root/tables/alpha")) == Seq(("cA", 0, "a0")))
+    assert(triples(IceLite.load(s"$root/tables/alpha")) == Seq(("cA", 0, "a0")))
+  }
+
+  test("automatic maintenance: snapshot chain stays bounded across a long streamed replay") {
+    val root = tmpDir("stream-maint")
+    val cfg = ChangeLogGen.GenConfig(numEvents = 1200, numConvs = 15, maxTurns = 5, logPartitions = 2)
+    ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 6)
+    val sc = CdcStream.StreamConfig(
+      s"$root/log", s"$root/table", s"$root/ckpt",
+      maxFilesPerTrigger = Some(1), maintenanceEvery = 2, keepSnapshots = 2)
+    val t = CdcStream.runAvailable(spark, sc)
+    val snapFiles = java.nio.file.Files.list(Paths.get(s"$root/table/snap")).iterator()
+    var n = 0
+    while (snapFiles.hasNext) { snapFiles.next(); n += 1 }
+    // without maintenance: >= one v-file per epoch x commits-per-epoch (12+).
+    // with expiry every 2 epochs keeping 2: bounded by keep + commits since
+    // the last expiry (+ checkpoints), not by the number of epochs
+    assert(n <= 10, s"snapshot chain not bounded by auto-maintenance: $n metadata files")
+    assert(stateTriples(t).nonEmpty)
+    assert(t.current.properties.keys.exists(_.startsWith("epoch:")))
   }
 
   test("crash after table commit but before checkpoint commit: epoch re-run is skipped") {
