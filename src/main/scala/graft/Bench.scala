@@ -70,6 +70,23 @@ object Bench {
     sec
   }
 
+  /** Machine-contention probe: one fixed single-threaded spin loop
+    * (~150 ms on an idle core of this VM). Run before and after the
+    * bench and emitted in the JSON: if either reading is far above the
+    * idle calibration, the run was contended and its timings should be
+    * read accordingly — the noise is self-evident from the output alone.
+    */
+  def spinProbeMs(): Double = {
+    var x = 0L
+    var i = 0L
+    val n = 300000000L
+    val t0 = System.nanoTime()
+    while (i < n) { x ^= i * 2654435761L; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,6 +96,12 @@ object Bench {
       // dominating; identical to ScalingBench so the replay reproduces
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 3).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // CPU-heavy-per-byte stages (lambda shingling/grams in q19/q21/q25)
+      // get coalesced to ONE task by AQE's default 1MB min partition size
+      // at small SF — the bytes are tiny, the per-byte CPU is not (q21
+      // measured 7.3s -> 3.9s). At real shuffle sizes total/parallelism
+      // >> 64k, so the lower floor changes nothing at scale.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
@@ -94,6 +117,7 @@ object Bench {
       SparkEntry.queries.get("q02_filter_project").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
 
+    val spinPre = spinProbeMs()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -120,10 +144,11 @@ object Bench {
     results("cdc_replay") = replaySec
     val evps = nEvents / replaySec
 
+    val spinPost = spinProbeMs()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents,"spin_ms_pre":$spinPre%.0f,"spin_ms_post":$spinPost%.0f,"spin_ms_idle_ref":150}""")
     spark.stop()
   }
 }

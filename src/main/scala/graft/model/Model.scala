@@ -140,13 +140,15 @@ final case class MergeSpec(
       * write amplification O(state/threshold) amortized, not O(state)). */
     morCompactThreshold: Int = 16,
     /** MOR only: compact at most this many buckets per epoch (most-
-      * backlogged first; <=0 = unbounded). Uniformly-filling buckets all
-      * cross the threshold at the same epoch; an unbudgeted compaction
-      * then rewrites the whole table inline in the ingest path (measured
-      * 7-9x epoch stall). The budget caps the inline work per epoch and
-      * lets the backlog drain over the next epochs — after the first
-      * drain the schedule itself keeps bucket phases spread. */
-    morCompactBudget: Int = 8,
+      * backlogged first). Uniformly-filling buckets all cross the
+      * threshold at the same epoch; an unbudgeted compaction then
+      * rewrites the whole table inline in the ingest path (measured 7-9x
+      * epoch stall). 0 (default) = AUTO: ceil(numBuckets/threshold), the
+      * steady-state sustainable rate — each epoch compacts ~1/threshold
+      * of the table, the same amortized write amplification as bursty
+      * whole-table compaction but spread evenly so no epoch stalls.
+      * <0 = unbounded (strict counts<=threshold, bursty). */
+    morCompactBudget: Int = 0,
     /** MOR only: de-synchronize the FIRST compaction wave by lowering
       * each bucket's effective threshold by a deterministic per-bucket
       * offset in [0, stagger] (0 = off). */

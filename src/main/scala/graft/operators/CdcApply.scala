@@ -253,10 +253,16 @@ object CdcApply {
       // stays O(changes + state/threshold) amortized). Budgeted: at most
       // morCompactBudget buckets per epoch so a synchronized threshold
       // crossing can never stall an epoch with a full-table rewrite.
-      if (spec.mergeStrategy == "mor" && spec.morCompactThreshold > 0)
+      if (spec.mergeStrategy == "mor" && spec.morCompactThreshold > 0) {
+        val budget =
+          if (spec.morCompactBudget > 0) spec.morCompactBudget
+          else if (spec.morCompactBudget < 0) Int.MaxValue
+          else // auto: the sustainable steady-state rate when every epoch
+               // touches every bucket (inflow numBuckets deltas/epoch)
+            math.max(1, (table.numBuckets + spec.morCompactThreshold - 1) / spec.morCompactThreshold)
         table.compactDeltas(spark, spec.morCompactThreshold,
-          maxBuckets = if (spec.morCompactBudget > 0) spec.morCompactBudget else Int.MaxValue,
-          stagger = spec.morCompactStagger)
+          maxBuckets = budget, stagger = spec.morCompactStagger)
+      }
       result
     }
   }

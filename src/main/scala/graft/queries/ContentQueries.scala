@@ -51,13 +51,28 @@ object ContentQueries {
     * bands MELTED to rows → ONE self-join on (band, band_val). Melting
     * (vs one join per band) lets Catalyst reuse the signature exchange on
     * both sides instead of recomputing the shingle subplan 8×.
+    *
+    * Band hashes are four disjoint 8-hex-char SLICES of one md5 per
+    * shingle (md5's output bits are uniformly mixed, so disjoint 32-bit
+    * slices act as independent min-hash functions): ONE digest per
+    * shingle instead of four prefixed ones — measured >2x on the
+    * signature stage, which dominates both q19 and q21. md5 stays the
+    * hash because it is the only digest shared bit-for-bit with the
+    * DuckDB oracle.
     */
   private def lshCandidates(docs: DataFrame): DataFrame = {
+    // spread BEFORE the per-shingle lambda work: the docs table arrives in
+    // O(file-count) partitions (ONE at test SF), and the shingle explode +
+    // md5 + partial agg all run in the scan stage — unpartitioned, that
+    // whole CPU block lands on one core. One narrow shuffle of raw text
+    // buys full-width parallelism for the dominant stage.
     val sh = docs
+      .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(wordShingles(3))).as("sh"))
-    val bands = (0 until 4).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"b$j"))
+      .withColumn("h", md5(col("sh")))
+    val bands = (0 until 4).map(j => min(substring(col("h"), 1 + 8 * j, 8)).as(s"b$j"))
     val sig = sh.groupBy("doc_id").agg(bands.head, bands.tail: _*)
     val melted = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(j => col(s"b$j")): _*)).as(Seq("band", "bv")))
@@ -109,17 +124,27 @@ object ContentQueries {
     "q21_dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // repartition = materialization barrier: without it Catalyst inlines
-      // the gram-array projection into the joins and recomputes per PAIR
-      val grams = docs.select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))").as("g"))
-        .repartition(col("doc_id"))
+      // the gram-array projection into the joins and recomputes per PAIR.
+      // Grams are HASHED to longs (xxhash64) before the per-pair
+      // array_intersect: long-array intersection beats string-array
+      // intersection on the verify stage (the remaining q21 cost), and at
+      // ~40^3 distinct 3-grams a 64-bit collision is vanishingly unlikely.
+      // The string grams themselves never leave the gram-build projection.
+      // repartition BEFORE the per-char gram lambda (not after): it is
+      // both the materialization barrier AND what spreads the gram build
+      // across cores — the docs scan itself is O(file-count) partitions
+      val grams = docs.repartition(col("doc_id")).select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3))))").as("g"))
       lshCandidates(docs)
-        .join(grams.select(col("doc_id").as("ida"), col("g").as("ga")), "ida")
-        .join(grams.select(col("doc_id").as("idb"), col("g").as("gb")), "idb")
+        .join(grams.select(col("doc_id").as("ida"), col("g").as("ga"), size(col("g")).as("na")), "ida")
+        .join(grams.select(col("doc_id").as("idb"), col("g").as("gb"), size(col("g")).as("nb")), "idb")
+        // size prefilter implied by the Jaccard threshold (J <= min/max):
+        // prunes pairs BEFORE the intersect is computed, changes nothing
+        .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 3)
         .select(
           col("ida"), col("idb"),
           size(array_intersect(col("ga"), col("gb"))).as("inter"),
-          size(col("ga")).as("na"), size(col("gb")).as("nb"))
+          col("na"), col("nb"))
         .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 3)
     }),
 
@@ -198,10 +223,18 @@ object ContentQueries {
         .select(col("pid").as("ida"), col("vec_id").as("idb"), col("label"))
     }),
 
+    // IVF-style ANN with multi-probe (q27's Hamming<=1 machinery): each
+    // probe fans out to its own + 6 neighbor sign-buckets, recovering the
+    // recall plain single-bucket IVF loses at bucket borders while still
+    // pruning ~2^6/7 of the corpus per probe. A data vector has exactly
+    // one bucket, so each (probe, vector) pair matches at most one probe
+    // bucket — no dedup needed before ranking.
     "q28_ann_ivf" -> ((s, dir) => {
       val v = vecs(s, dir).withColumn("bkt", signBucket(6))
+      val probeBkts = array((col("bkt") +: (0 until 6).map(i =>
+        col("bkt").bitwiseXOR(lit(1 << i)))): _*)
       val probes = v.filter(col("vec_id") < 20)
-        .select(col("bkt"), col("vec_id").as("pid"), col("v").as("pv"))
+        .select(col("vec_id").as("pid"), col("v").as("pv"), explode(probeBkts).as("bkt"))
       val scored = probes.join(v, Seq("bkt"))
         .filter(col("vec_id") =!= col("pid"))
         .withColumn("cos", expr(s"$dotExpr / (${normExpr("pv")} * ${normExpr("v")})"))
@@ -225,7 +258,7 @@ object ContentQueries {
   private val simhashBits = (0 until 16)
     .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
   private val lshBands = (0 until 4)
-    .map(j => s"min(md5('$j:' || sh)) AS b$j").mkString(", ")
+    .map(j => s"min(substr(md5(sh), ${1 + 8 * j}, 8)) AS b$j").mkString(", ")
   private val lshPairUnion = (0 until 4).map(j =>
     s"SELECT a.doc_id AS ida, b.doc_id AS idb FROM sig a JOIN sig b ON a.b$j = b.b$j AND a.doc_id < b.doc_id")
     .mkString("\n UNION\n ")
@@ -327,7 +360,10 @@ object ContentQueries {
         |  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
         |  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
         | FROM embeddings),
-        |p AS (SELECT bkt, vec_id AS pid, v AS pv FROM v WHERE vec_id < 20),
+        |p AS (
+        | SELECT vec_id AS pid, v AS pv,
+        |  unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8), xor(bkt, 16), xor(bkt, 32)]) AS bkt
+        | FROM v WHERE vec_id < 20),
         |s AS (SELECT p.pid, v.vec_id, p.bkt,
         |  list_dot_product(p.pv, v.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(v.v, v.v))) AS cos
         | FROM p JOIN v ON p.bkt = v.bkt AND v.vec_id <> p.pid)

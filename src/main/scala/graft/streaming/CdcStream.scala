@@ -61,7 +61,23 @@ object CdcStream {
         * applies are submitted as concurrent Spark jobs — N topics no
         * longer serialize N driver-side plan+commit regions per epoch.
         * Bounded so one epoch cannot flood the scheduler. */
-      maxConcurrentTopics: Int = 4)
+      maxConcurrentTopics: Int = 4,
+      /** Table-name casing applied to the `${topic}` substitution —
+        * "preserve" (default) | "upper" | "lower" (reference `uppercase`
+        * flag, `.../sink/JdbcSinkConfig.java:270-275`, which upper/lower-
+        * cases generated table names for case-folding dialects). */
+      tableNameCase: String = "preserve") {
+    require(Set("preserve", "upper", "lower")(tableNameCase),
+      s"tableNameCase must be preserve|upper|lower, got '$tableNameCase'")
+    def tableDirFor(topic: String): String = {
+      val t = tableNameCase match {
+        case "upper" => topic.toUpperCase(java.util.Locale.ROOT)
+        case "lower" => topic.toLowerCase(java.util.Locale.ROOT)
+        case _       => topic
+      }
+      tableDirTemplate.replace("${topic}", t)
+    }
+  }
 
   final case class StreamConfig(
       logDir: String,
@@ -162,7 +178,7 @@ object CdcStream {
             try {
               val applies = topics.map { t =>
                 Future {
-                  val dir = r.tableDirTemplate.replace("${topic}", t)
+                  val dir = r.tableDirFor(t)
                   val slice0 = batch.filter(col(r.topicColumn) === t).drop(r.topicColumn)
                   // per-topic schema: a first-sight table is created with —
                   // and an existing table ALTER-ADDs only — the drift

@@ -54,7 +54,9 @@ class MorSpec extends SparkSuite {
     val dir = tmpDir("mor-bound") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)
     val log = randomLog(new Random(11), 400, 8, 4)
-    val spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 2)
+    // unbounded budget: this test pins the STRICT counts<=threshold
+    // contract (budgeted mode relaxes it transiently; see the budget test)
+    val spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 2, morCompactBudget = -1)
     log.grouped(40).zipWithIndex.foreach { case (b, i) =>
       CdcApply.applyBatch(spark, t, eventsDF(spark, b), spec = spec, epoch = Some(("b", i.toLong)))
       t.current.deltas.foreach { case (bk, fs) =>

@@ -153,6 +153,14 @@ class StreamingSpec extends SparkSuite {
     assert(triples(IceLite.load(s"$root/tables/alpha")) == Seq(("cA", 0, "a0")))
   }
 
+  test("routing tableNameCase folds the ${topic} substitution (reference `uppercase` flag)") {
+    val r = CdcStream.Routing("/x/${topic}", tableNameCase = "upper")
+    assert(r.tableDirFor("Alpha") == "/x/ALPHA")
+    assert(CdcStream.Routing("/x/${topic}", tableNameCase = "lower").tableDirFor("Alpha") == "/x/alpha")
+    assert(CdcStream.Routing("/x/${topic}").tableDirFor("Alpha") == "/x/Alpha")
+    intercept[IllegalArgumentException](CdcStream.Routing("/x/${topic}", tableNameCase = "title"))
+  }
+
   test("automatic maintenance: snapshot chain stays bounded across a long streamed replay") {
     val root = tmpDir("stream-maint")
     val cfg = ChangeLogGen.GenConfig(numEvents = 1200, numConvs = 15, maxTurns = 5, logPartitions = 2)
