@@ -91,10 +91,13 @@ object MorBench {
          |${mor.indices.map(i => f"| $i | ${mor(i)}%.2f | ${cow(i)}%.2f |").mkString("\n")}
          |
          |Head→tail per-batch slope (avg of last 3 / first 3):
-         |**mor ${sm}%.2fx (flat, O(changes) per batch + threshold-bounded
+         |**mor ${sm}%.2fx (flat, O(changes) per batch + budgeted
          |compaction)** vs **cow ${sc}%.2fx (grows with table state)**.
-         |mor batch spikes are inline compaction paying the amortized
-         |rewrite (threshold 4 delta files/bucket).
+         |mor epochs carry the BUDGETED inline compaction (auto budget =
+         |numBuckets/threshold buckets per epoch, most-backlogged first,
+         |threshold 4 delta files/bucket): the amortized rewrite is spread
+         |evenly instead of stalling single epochs 7-9x (the pre-budget
+         |shape), so no epoch pays a whole-table rewrite.
          |""".stripMargin
     Files.createDirectories(Paths.get("/root/repo/BENCH"))
     Files.writeString(Paths.get("/root/repo/BENCH/mor-flatness.md"), md)

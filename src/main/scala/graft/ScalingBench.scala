@@ -57,13 +57,16 @@ object ScalingBench {
     val logDir = Files.createTempDirectory(tmpBase, s"graft-scale-log-$cores").toString
     // best-of-2: the sandbox VM shows ±2x run-to-run noise; min wall time
     // is the standard estimator of true capability under noisy neighbors
+    val spinPre = Bench.spinProbeMs()
     val sec = (1 to 2).map { _ =>
       Bench.replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir)
     }.min
+    val spinPost = Bench.spinProbeMs()
     spark.stop()
     Bench.deleteRecursively(warmDir); Bench.deleteRecursively(logDir)
     val evps = nEvents / sec
-    println(f"[scaling] local[$cores]: $nEvents events in $sec%.1fs = $evps%.0f events/s")
+    println(f"[scaling] local[$cores]: $nEvents events in $sec%.1fs = $evps%.0f events/s " +
+      f"(spin probe pre/post: $spinPre%.0f/$spinPost%.0f ms, idle ref ~150)")
 
     Files.createDirectories(Paths.get(benchDir))
     Files.writeString(Paths.get(s"$benchDir/scaling-$cores.tsv"), f"$cores\t$nEvents\t$sec%.2f\t$evps%.1f\n")
