@@ -89,12 +89,18 @@ final class IceLiteTable(val dir: String) {
   // O(live-files)-per-epoch driver cost this format removes).
   @volatile private var stateCache: Snapshot = _
 
+  /** Diffs folded by the last [[snapshot]] call — the deterministic
+    * per-read metadata cost (0 = cache hit; a tailing reader sees 1 per
+    * new commit). Observability/test hook, not part of the table state.
+    */
+  @volatile var lastFoldSteps: Int = 0
+
   /** Full table state as of `version`: nearest checkpoint (or the memoized
     * fold, whichever is closer) + the diff chain up to `version`.
     */
   def snapshot(version: Long): Snapshot = {
     val c = stateCache
-    if (c != null && c.version == version) return c
+    if (c != null && c.version == version) { lastFoldSteps = 0; return c }
     var s: Snapshot = {
       val ckv = listCheckpointVersions.filter(_ <= version) match {
         case Seq() => None
@@ -108,8 +114,12 @@ final class IceLiteTable(val dir: String) {
           s"no checkpoint at or below version $version in $snapDir — corrupt or expired table metadata")
       }
     }
-    while (s.version < version)
+    var steps = 0
+    while (s.version < version) {
       s = fold(s, readDiff(vFile(s.version + 1)))
+      steps += 1
+    }
+    lastFoldSteps = steps
     val c2 = stateCache
     if (c2 == null || version > c2.version) stateCache = s
     s
@@ -365,7 +375,13 @@ final class IceLiteTable(val dir: String) {
       val parent = if (parentV == 0L) null else snapshot(parentV)
       val base = Option(parent).getOrElse(
         throw new IllegalStateException(s"table $dir has no snapshots — create() first"))
-      val next = build(base).copy(version = parentV + 1, parentVersion = parentV)
+      val next0 = build(base).copy(version = parentV + 1, parentVersion = parentV)
+      // normalize away empty bucket entries so the writer's in-memory view
+      // is identical to what a reader reconstructs from the diff (fold
+      // drops a bucket on `set: []`)
+      val next = next0.copy(
+        files = next0.files.filter(_._2.nonEmpty),
+        deltas = next0.deltas.filter(_._2.nonEmpty))
       val target = vFile(next.version)
       val tmp = snapDir.resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.writeString(tmp, diffJson(next, base))

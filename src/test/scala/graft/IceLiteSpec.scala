@@ -94,6 +94,27 @@ class IceLiteSpec extends SparkSuite {
     assert(t3.snapshot(oldest).version == oldest)
   }
 
+  test("tailing reader folds exactly ONE diff per new commit; writer reads are cache hits") {
+    val dir = tmpDir("icelite-tail") + "/t"
+    val writer = IceLite.create(dir, turnSchema, 4)
+    val reader = IceLite.load(dir) // independent handle = the tailing driver
+    reader.current // warm the reader's fold cache
+    (1 to 40).foreach { i =>
+      writer.commit(p => p.copy(
+        deltas = p.deltas.updated(i % 4, p.deltas.getOrElse(i % 4, Seq.empty) :+ s"data/x/f$i.parquet"),
+        lastDeltaSeq = p.version + 1))
+      assert(writer.current eq writer.current) // cache-stable
+      writer.current
+      assert(writer.lastFoldSteps == 0, s"writer re-folded after its own commit $i")
+      reader.current
+      // ==1 between checkpoints; ==0 on the CheckpointEvery cadence (the
+      // reader jumps to the fresher checkpoint instead of folding)
+      assert(reader.lastFoldSteps <= 1,
+        s"reader folded ${reader.lastFoldSteps} diffs at commit $i — per-epoch metadata cost not O(changes)")
+    }
+    assert(reader.current == writer.current)
+  }
+
   test("schema evolution e2e: v1 files (no tool) readable after v2 batch adds tool") {
     import org.apache.spark.sql.types._
     val v1Schema = StructType(turnSchema.fields.filterNot(_.name == "tool"))
