@@ -87,6 +87,38 @@ object ContentQueries {
       .distinct()
   }
 
+  /** LSH-gated exact n-gram Jaccard (q21; reused by the q32 keep-list):
+    * candidates from the q19 banding, exact char-3-gram Jaccard computed
+    * ONLY on candidate pairs. The blocked all-pairs formulation this
+    * replaces was quadratic within a block (unsafe at 100 TB); candidate
+    * volume scales with true-duplicate density instead of corpus size.
+    *
+    * Grams are HASHED to longs (xxhash64) before the per-pair
+    * array_intersect: long-array intersection beats string-array
+    * intersection on the verify stage, and at ~40^3 distinct 3-grams a
+    * 64-bit collision is vanishingly unlikely. The repartition sits
+    * BEFORE the per-char gram lambda: it is both the materialization
+    * barrier (Catalyst would otherwise recompute the gram array per PAIR
+    * inside the joins) and what spreads the gram build across cores (the
+    * docs scan itself is O(file-count) partitions).
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs.repartition(col("doc_id")).select(col("doc_id"),
+      expr("array_distinct(transform(sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3))))").as("g"))
+    lshCandidates(docs)
+      .join(grams.select(col("doc_id").as("ida"), col("g").as("ga"), size(col("g")).as("na")), "ida")
+      .join(grams.select(col("doc_id").as("idb"), col("g").as("gb"), size(col("g")).as("nb")), "idb")
+      // size prefilter implied by the Jaccard threshold (J <= min/max):
+      // prunes pairs BEFORE the intersect is computed, changes nothing
+      .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 3)
+      .select(
+        col("ida"), col("idb"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        col("na"), col("nb"))
+      .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 3)
+  }
+
   private def cosineJoin(probes: DataFrame, cands: DataFrame): DataFrame =
     probes.crossJoin(cands)
       .filter(col("vec_id") =!= col("pid"))
@@ -116,37 +148,9 @@ object ContentQueries {
           .reduce(_ + _).as("simhash"))
     }),
 
-    // LSH-gated exact n-gram Jaccard: candidates from the q19 banding,
-    // exact char-3-gram Jaccard computed ONLY on candidate pairs. The
-    // blocked all-pairs formulation this replaces was quadratic within a
-    // block (27.7 s at sf0.1, unsafe at 100 TB); candidate volume scales
-    // with true-duplicate density instead of corpus size.
-    "q21_dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // repartition = materialization barrier: without it Catalyst inlines
-      // the gram-array projection into the joins and recomputes per PAIR.
-      // Grams are HASHED to longs (xxhash64) before the per-pair
-      // array_intersect: long-array intersection beats string-array
-      // intersection on the verify stage (the remaining q21 cost), and at
-      // ~40^3 distinct 3-grams a 64-bit collision is vanishingly unlikely.
-      // The string grams themselves never leave the gram-build projection.
-      // repartition BEFORE the per-char gram lambda (not after): it is
-      // both the materialization barrier AND what spreads the gram build
-      // across cores — the docs scan itself is O(file-count) partitions
-      val grams = docs.repartition(col("doc_id")).select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3))))").as("g"))
-      lshCandidates(docs)
-        .join(grams.select(col("doc_id").as("ida"), col("g").as("ga"), size(col("g")).as("na")), "ida")
-        .join(grams.select(col("doc_id").as("idb"), col("g").as("gb"), size(col("g")).as("nb")), "idb")
-        // size prefilter implied by the Jaccard threshold (J <= min/max):
-        // prunes pairs BEFORE the intersect is computed, changes nothing
-        .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 3)
-        .select(
-          col("ida"), col("idb"),
-          size(array_intersect(col("ga"), col("gb"))).as("inter"),
-          col("na"), col("nb"))
-        .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 3)
-    }),
+    // LSH-gated exact n-gram Jaccard: see [[jaccardPairs]] (shared with
+    // the q32 keep-list).
+    "q21_dedup_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
 
     // ===================== text analysis =====================
     "q22_text_langid" -> ((s, dir) => {
@@ -244,6 +248,46 @@ object ContentQueries {
         .select(col("pid"), col("vec_id").as("neighbor_id"), col("rank"), col("bkt"))
     }),
 
+    // ===================== pipeline curation ops =====================
+    // Denylist scrubbing (PII-masking shape: the corpus is synthetic
+    // lowercase words, so the denylist stands in for email/number
+    // patterns; the plumbing — whole-corpus regexp rewrite + change
+    // audit — is the operator). Pure codegen'd expressions, linear scan.
+    "q30_text_scrub" -> ((s, dir) => {
+      val masked = regexp_replace(col("text"), "\\b(customer|value)\\b", "<MASKED>")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        masked.as("scrubbed"),
+        (masked =!= col("text")).as("changed"))
+    }),
+
+    // Stratified sampling: deterministic top-k per stratum by an
+    // md5-derived key (equal representation per language for eval/train
+    // splits). The per-stratum window shuffles by `lang` — fine for a
+    // bounded stratum set; for huge strata switch to the rate form
+    // (hash % N < k), which needs no window at all.
+    "q31_sample_stratified" -> ((s, dir) => {
+      val hkey = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+      val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), hkey.as("hkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("doc_id"), col("lang"), col("rn"))
+    }),
+
+    // Greedy near-dup keep-list — the decision a dedup pipeline actually
+    // ships: q21's confirmed pairs always have ida < idb, so dropping
+    // every idb keeps exactly the smallest doc of each duplicate
+    // neighborhood. Anti-join against the (duplicate-density-sized) drop
+    // set; no all-pairs anything.
+    "q32_dedup_keeplist" -> ((s, dir) => {
+      val drop = jaccardPairs(s, dir).select(col("idb").as("doc_id")).distinct()
+      t(s, dir, "documents")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ===================== multimodal plumbing =====================
     "q29_mm_decode" -> ((s, dir) => {
       Multimodal.decode(s, Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -263,6 +307,23 @@ object ContentQueries {
     s"SELECT a.doc_id AS ida, b.doc_id AS idb FROM sig a JOIN sig b ON a.b$j = b.b$j AND a.doc_id < b.doc_id")
     .mkString("\n UNION\n ")
 
+  /** q21 oracle body (also the CTE base of the q32 keep-list oracle). */
+  private val jaccardOracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS sh
+       |       FROM w WHERE len(ws) >= 3),
+       |sig AS (SELECT doc_id, $lshBands FROM sh GROUP BY doc_id),
+       |cand AS (SELECT DISTINCT ida, idb FROM (
+       | $lshPairUnion)),
+       |d AS (SELECT doc_id,
+       |  list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+       | FROM documents)
+       |SELECT c.ida, c.idb,
+       | CAST(len(list_intersect(x.g, y.g)) AS INT) AS inter,
+       | CAST(len(x.g) AS INT) AS na, CAST(len(y.g) AS INT) AS nb
+       |FROM cand c JOIN d x ON x.doc_id = c.ida JOIN d y ON y.doc_id = c.idb
+       |WHERE len(list_intersect(x.g, y.g)) * 10 >= (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) * 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q18_dedup_exact" ->
       "SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY md5(text)",
@@ -279,21 +340,7 @@ object ContentQueries {
          |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) AS h FROM words),
          |sums AS (SELECT doc_id, $simhashSums FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM sums""".stripMargin,
-    "q21_dedup_ngram_jaccard" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |sh AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS sh
-         |       FROM w WHERE len(ws) >= 3),
-         |sig AS (SELECT doc_id, $lshBands FROM sh GROUP BY doc_id),
-         |cand AS (SELECT DISTINCT ida, idb FROM (
-         | $lshPairUnion)),
-         |d AS (SELECT doc_id,
-         |  list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
-         | FROM documents)
-         |SELECT c.ida, c.idb,
-         | CAST(len(list_intersect(x.g, y.g)) AS INT) AS inter,
-         | CAST(len(x.g) AS INT) AS na, CAST(len(y.g) AS INT) AS nb
-         |FROM cand c JOIN d x ON x.doc_id = c.ida JOIN d y ON y.doc_id = c.idb
-         |WHERE len(list_intersect(x.g, y.g)) * 10 >= (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) * 3""".stripMargin,
+    "q21_dedup_ngram_jaccard" -> jaccardOracle,
     "q22_text_langid" ->
       """WITH c AS (
         | SELECT doc_id,
@@ -370,6 +417,22 @@ object ContentQueries {
         |SELECT pid, vec_id AS neighbor_id, CAST(rank AS INT) AS rank, bkt FROM (
         | SELECT pid, vec_id, bkt, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
         |WHERE rank <= 3""".stripMargin,
+    "q30_text_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(text, '\b(customer|value)\b', '<MASKED>', 'g') AS scrubbed,
+        | regexp_replace(text, '\b(customer|value)\b', '<MASKED>', 'g') <> text AS changed
+        |FROM documents""".stripMargin,
+    "q31_sample_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+        | SELECT doc_id, lang, row_number() OVER (
+        |  PARTITION BY lang
+        |  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id) AS rn
+        | FROM documents) WHERE rn <= 50""".stripMargin,
+    "q32_dedup_keeplist" ->
+      s"""WITH pairs AS (
+         |$jaccardOracle)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT idb FROM pairs)""".stripMargin,
     "q29_mm_decode" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
