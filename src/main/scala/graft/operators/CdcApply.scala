@@ -319,12 +319,16 @@ object CdcApply {
     val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
     val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
 
-    // Quarantine BEFORE the epoch commit: a crash between commit and a
-    // post-commit quarantine write would lose the rejects permanently
-    // (re-delivery is skipped by the epoch marker, so the dead-letter
-    // write never re-runs). The epoch-partition dynamic overwrite makes
-    // a crash-between-quarantine-and-commit re-run idempotent.
-    quarantine(rejectedCount)
+    // Epoch-tagged batches quarantine BEFORE the commit: a crash between
+    // commit and a post-commit quarantine write would lose the rejects
+    // permanently (re-delivery is skipped by the epoch marker, so the
+    // dead-letter write never re-runs), and the epoch-partition dynamic
+    // overwrite makes a crash-between-quarantine-and-commit re-run
+    // idempotent. Ad-hoc batches (no epoch) APPEND their quarantine and
+    // have no re-delivery marker — pre-commit writes would duplicate
+    // rejects when a failed commit is re-applied, so they write after a
+    // successful commit (the caller owns the retry decision).
+    if (epoch.isDefined) quarantine(rejectedCount)
 
     val snap =
       try {
@@ -353,6 +357,7 @@ object CdcApply {
       } catch {
         case AlreadyApplied(_) => return BatchResult(table.current, skipped = true, 0L, 0L, 0L)
       }
+    if (epoch.isEmpty) quarantine(rejectedCount)
     BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
   }
 
@@ -443,6 +448,11 @@ object CdcApply {
       val allFields: Seq[ExtractField] =
         if (spec.payloadSchemas.isEmpty) spec.extractFields
         else {
+          spec.payloadSchemas.foreach { ps =>
+            val d = ps.extract.map(_.name).diff(ps.extract.map(_.name).distinct)
+            require(d.isEmpty,
+              s"payload schema '${ps.name}' declares duplicate extract names: ${d.distinct.mkString(", ")}")
+          }
           val seen = scala.collection.mutable.LinkedHashMap.empty[String, ExtractField]
           for (s <- spec.payloadSchemas; f <- s.extract) seen.get(f.name) match {
             case Some(prev) => require(prev.castTo == f.castTo,

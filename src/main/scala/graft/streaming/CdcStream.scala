@@ -69,14 +69,17 @@ object CdcStream {
       tableNameCase: String = "preserve") {
     require(Set("preserve", "upper", "lower")(tableNameCase),
       s"tableNameCase must be preserve|upper|lower, got '$tableNameCase'")
-    def tableDirFor(topic: String): String = {
-      val t = tableNameCase match {
-        case "upper" => topic.toUpperCase(java.util.Locale.ROOT)
-        case "lower" => topic.toLowerCase(java.util.Locale.ROOT)
-        case _       => topic
-      }
-      tableDirTemplate.replace("${topic}", t)
+    /** The folded name actually substituted into the template. Topics
+      * that fold to the same name are ONE table (and are applied as one
+      * union slice — see the routed fan-out).
+      */
+    def foldTopic(topic: String): String = tableNameCase match {
+      case "upper" => topic.toUpperCase(java.util.Locale.ROOT)
+      case "lower" => topic.toLowerCase(java.util.Locale.ROOT)
+      case _       => topic
     }
+    def tableDirFor(topic: String): String =
+      tableDirTemplate.replace("${topic}", foldTopic(topic))
   }
 
   final case class StreamConfig(
@@ -117,6 +120,13 @@ object CdcStream {
     val table: Option[IceLiteTable] =
       if (cfg.routing.isDefined) None // routed tables are created on first sight of their topic
       else Some(loadOrCreate(cfg.tableDir, Schemas.transcript, cfg.spec))
+    // routed-table handles, cached across epochs: an IceLiteTable handle
+    // memoizes its snapshot fold, so reusing it keeps the per-epoch
+    // metadata cost at one diff per table (fresh handles would cold-fold
+    // checkpoint + up to CheckpointEvery diffs every epoch) — and it lets
+    // maintenance cover EVERY table this stream has written, not just the
+    // ones touched in the cadence epoch
+    val routedTables = scala.collection.concurrent.TrieMap.empty[String, IceLiteTable]
     val logTable: Option[IceLiteTable] = cfg.eventLogTableDir.map { d =>
       loadOrCreate(d, graft.operators.EventLogApply.logSchema(Schemas.transcript), cfg.spec,
         logTable = true)
@@ -165,37 +175,70 @@ object CdcStream {
             Seq(table.get)
           case Some(r) =>
             // one narrow distinct over the batch (topic column only);
-            // topic count is bounded by the upstream subscription
+            // topic count is bounded by the upstream subscription.
+            // Topics whose FOLDED name coincides (tableNameCase) are one
+            // table: group them and apply the union slice once — applying
+            // them separately under the same (streamId, epochId) marker
+            // would silently skip every slice after the first.
             val topics = batch.select(col(r.topicColumn).cast("string"))
               .na.drop().distinct().collect().map(_.getString(0)).sorted
-            // bounded-concurrency fan-out: per-topic applies are
+            val groups: Seq[(String, Seq[String])] =
+              topics.groupBy(r.foldTopic).toSeq.sortBy(_._1).map { case (f, ts) => (f, ts.toSeq.sorted) }
+
+            // Per-topic-table schemas (reference README.md:55-73): a table
+            // only carries drift columns with at least one non-null value
+            // in its topics' slices. Detection is ONE batch-wide narrow
+            // aggregate over only the columns some routed table is missing
+            // — no job at all once every table matches the union envelope.
+            val afterT = batch.schema("after").dataType.asInstanceOf[StructType]
+            val knownByGroup: Map[String, Option[Set[String]]] = groups.map { case (f, _) =>
+              val dir = r.tableDirTemplate.replace("${topic}", f)
+              val handle = routedTables.get(dir).orElse(
+                if (IceLite.exists(dir)) Some(routedTables.getOrElseUpdate(dir, IceLite.load(dir))) else None)
+              f -> handle.map(_.schema.fieldNames.toSet)
+            }.toMap
+            val candByGroup: Map[String, Seq[String]] = knownByGroup.map { case (f, ks) =>
+              f -> afterT.fieldNames.toSeq.filterNot(ks.getOrElse(Set.empty).contains)
+            }
+            val unionCands = candByGroup.values.flatten.toSeq.distinct
+            val liveByTopic: Map[String, Set[String]] =
+              if (unionCands.isEmpty) Map.empty
+              else {
+                val aggs = unionCands.map(c => count(col(s"after.`$c`")).as(c))
+                batch.groupBy(col(r.topicColumn).cast("string").as("__topic"))
+                  .agg(aggs.head, aggs.tail: _*)
+                  .collect().map { row =>
+                    row.getString(0) -> unionCands.filter(c => row.getAs[Long](c) > 0L).toSet
+                  }.toMap
+              }
+
+            // bounded-concurrency fan-out: per-table applies are
             // independent Spark jobs + commits; running them on a small
             // pool overlaps their driver-side planning/commit regions
             // (serial per-topic application measured as N x epoch latency)
             val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.max(1, math.min(topics.length, r.maxConcurrentTopics)))
+              math.max(1, math.min(groups.length, r.maxConcurrentTopics)))
             val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
             try {
-              val applies = topics.map { t =>
+              val applies = groups.map { case (folded, ts) =>
                 Future {
-                  val dir = r.tableDirFor(t)
-                  val slice0 = batch.filter(col(r.topicColumn) === t).drop(r.topicColumn)
-                  // per-topic schema: a first-sight table is created with —
-                  // and an existing table ALTER-ADDs only — the drift
-                  // columns actually PRESENT in this topic's slice, not the
-                  // whole batch's union envelope (reference: per-topic
-                  // table schemas, README.md:55-73)
-                  val existing = if (IceLite.exists(dir)) Some(IceLite.load(dir).schema) else None
-                  val slice = pruneAbsentDriftColumns(slice0, existing)
-                  val tbl = existing match {
-                    case Some(_) => IceLite.load(dir)
-                    case None => loadOrCreate(dir,
-                      slice.schema("after").dataType.asInstanceOf[StructType], cfg.spec)
-                  }
+                  val dir = r.tableDirTemplate.replace("${topic}", folded)
+                  val slice0 = batch.filter(col(r.topicColumn).isin(ts: _*)).drop(r.topicColumn)
+                  val live = ts.flatMap(t => liveByTopic.getOrElse(t, Set.empty)).toSet
+                  val keep = afterT.fieldNames.toSeq.filter(n =>
+                    knownByGroup(folded).exists(_.contains(n)) || live.contains(n) ||
+                      candByGroup(folded).isEmpty)
+                  // never project to an empty struct (all-tombstone
+                  // first-sight slice): fall back to the union envelope
+                  val slice =
+                    if (keep.isEmpty || keep.size == afterT.fields.length) slice0
+                    else projectAfter(slice0, keep)
+                  val tbl = routedTables.getOrElseUpdate(dir, loadOrCreate(dir,
+                    slice.schema("after").dataType.asInstanceOf[StructType], cfg.spec))
                   CdcApply.applyBatch(
                     spark, tbl, slice, cfg.spec,
                     epoch = Some((cfg.streamId, epochId)),
-                    rejectedDir = cfg.rejectedDir.map(d => s"$d/topic=$t"))
+                    rejectedDir = cfg.rejectedDir.map(d => s"$d/topic=$folded"))
                   tbl
                 }(ec)
               }
@@ -205,39 +248,24 @@ object CdcStream {
         logAppend.foreach(Await.result(_, Duration.Inf))
         // automatic metadata maintenance on a cadence: bound the snapshot
         // chain and GC orphaned files of expired versions (driver-side
-        // only). Crash-safe: expiry is idempotent and never touches files
-        // referenced by surviving snapshots.
+        // only) for EVERY table this stream has written — including routed
+        // tables idle in the cadence epoch. Crash-safe: expiry is
+        // idempotent and never touches files referenced by surviving
+        // snapshots.
         if (cfg.maintenanceEvery > 0 && (epochId + 1) % cfg.maintenanceEvery == 0)
-          (touchedTables ++ logTable).foreach(_.expireSnapshots(cfg.keepSnapshots))
+          (touchedTables ++ routedTables.values ++ logTable).toSeq.distinct
+            .foreach(_.expireSnapshots(cfg.keepSnapshots))
         ()
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
-  /** Restrict a routed slice's after-struct to columns its table already
-    * has plus drift columns with at least one non-null value IN THIS
-    * SLICE. Candidate columns are only those not yet in the table schema,
-    * so the steady (drift-free) state runs no job at all; with drift
-    * pending, one aggregate scans just the candidate columns
-    * (column-pruned). Keeps routed tables on per-topic schemas instead of
-    * the batch's union envelope.
+  /** Pure after-struct projection (no job): restrict the envelope to the
+    * given field names, preserving envelope order.
     */
-  private[streaming] def pruneAbsentDriftColumns(
-      slice: DataFrame, tableSchema: Option[StructType]): DataFrame = {
-    val afterT = slice.schema("after").dataType.asInstanceOf[StructType]
-    val known: Set[String] = tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
-    val candidates = afterT.fieldNames.toSeq.filterNot(known.contains)
-    if (candidates.isEmpty) return slice
-    val counts = slice.agg(
-      count(col(s"after.`${candidates.head}`")).as(candidates.head),
-      candidates.tail.map(c => count(col(s"after.`$c`")).as(c)): _*).collect()(0)
-    val dead = candidates.filter(c => counts.getAs[Long](c) == 0L).toSet
-    val keep = afterT.fieldNames.toSeq.filterNot(dead.contains)
-    // never prune to an empty struct (an all-tombstone first-sight slice)
-    if (dead.isEmpty || keep.isEmpty) slice
-    else slice.withColumn("after",
+  private[streaming] def projectAfter(slice: DataFrame, keep: Seq[String]): DataFrame =
+    slice.withColumn("after",
       when(col("after").isNotNull, struct(keep.map(n => col(s"after.`$n`").as(n)): _*)))
-  }
 
   private def loadOrCreate(
       dir: String, schema: StructType, spec: MergeSpec,

@@ -110,13 +110,23 @@ final class IceLiteTable(val dir: String) {
       ckv match {
         case Some(k) if !cacheUsable || k > c.version => readCheckpoint(cFile(k))
         case _ if cacheUsable => c
+        case None if listSnapshotVersions.headOption.contains(1L) =>
+          // no checkpoint at all but the chain is complete from v1 (e.g. a
+          // crash between create()'s v1 link and its c1 checkpoint write):
+          // v1's diff is against the empty parent, so fold from scratch
+          emptySnapshot
         case _ => throw new IllegalStateException(
           s"no checkpoint at or below version $version in $snapDir — corrupt or expired table metadata")
       }
     }
     var steps = 0
     while (s.version < version) {
-      s = fold(s, readDiff(vFile(s.version + 1)))
+      // old-format (pre-diff build) v-files carry the FULL state — they
+      // replace instead of folding, keeping round-2 tables readable
+      readDiffOrFull(vFile(s.version + 1)) match {
+        case Right(d)   => s = fold(s, d)
+        case Left(full) => s = full
+      }
       steps += 1
     }
     lastFoldSteps = steps
@@ -235,7 +245,13 @@ final class IceLiteTable(val dir: String) {
       if (keep.headOption.contains(x.version)) boundary = x
     }
     record(s)
-    versions.tail.foreach { v => s = fold(s, readDiff(vFile(v))); record(s) }
+    versions.tail.foreach { v =>
+      s = readDiffOrFull(vFile(v)) match {
+        case Right(d)   => fold(s, d)
+        case Left(full) => full
+      }
+      record(s)
+    }
     // The oldest SURVIVING version must stay readable after its ancestor
     // diffs are gone: checkpoint it first, then drop diffs + checkpoints
     // below the boundary.
@@ -563,6 +579,21 @@ object IceLite {
   }
 
   private[table] def readCheckpoint(path: Path): Snapshot = readSnapshot(path)
+
+  /** The fold seed for a chain with no checkpoint: v1's diff is written
+    * against this empty version-0 parent.
+    */
+  private[table] val emptySnapshot: Snapshot =
+    Snapshot(0L, 0L, "", 0, Map.empty, Map.empty, Map.empty)
+
+  /** Read a v-file as a diff, or — when it predates the diff format
+    * (no `filesOps` key; pre-round-3 builds wrote full snapshots per
+    * commit) — as the full snapshot it contains.
+    */
+  private[table] def readDiffOrFull(path: Path): Either[Snapshot, SnapshotDiff] = {
+    val root = mapper.readTree(Files.readString(path))
+    if (root.get("filesOps") != null) Right(readDiff(path)) else Left(readSnapshot(path))
+  }
 
   private[table] def writeAtomically(target: Path, content: String): Unit = {
     val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}.json")

@@ -145,6 +145,65 @@ class ConfigFidelitySpec extends SparkSuite {
     val e4 = intercept[IllegalArgumentException](
       apply(MergeSpec(extractFields = Seq(ExtractField("x", "$.a")), payloadSchemas = uneven)))
     assert(e4.getMessage.contains("not both"))
+
+    // duplicate extract names WITHIN one schema -> rejected (not silently
+    // first-wins: a typo would bind a column to the wrong JSON path)
+    val dupIn = Seq(PayloadSchema("s", "$.a",
+      Seq(ExtractField("x", "$.a"), ExtractField("x", "$.b"))))
+    val e5 = intercept[IllegalArgumentException](apply(MergeSpec(payloadSchemas = dupIn)))
+    assert(e5.getMessage.contains("duplicate extract names"))
+  }
+
+  test("ad-hoc (no-epoch) batches write quarantine once, after the commit") {
+    val dir = tmpDir("quar-adhoc")
+    val table = IceLite.create(s"$dir/t", turnSchema, 4)
+    val evs = eventsDF(spark, Seq(ins(0L, "c1", 0, "ok"), ins(1L, null, 0, "bad")))
+      .withColumnRenamed("schemaV", "schema_v")
+    val r = CdcApply.applyBatch(spark, table, evs, rejectedDir = Some(s"$dir/rej"))
+    assert(r.rejected == 1L)
+    assert(spark.read.parquet(s"$dir/rej").count() == 1)
+    // a second ad-hoc apply of the same data appends (at-least-once by
+    // design: no epoch marker exists to dedupe on)
+    CdcApply.applyBatch(spark, table, evs, rejectedDir = Some(s"$dir/rej"))
+    assert(spark.read.parquet(s"$dir/rej").count() == 2)
+  }
+
+  test("quarantine is idempotent: epoch re-delivery adds nothing; epoch partition overwrites stale rows") {
+    val dir = tmpDir("quar-idem")
+    val table = IceLite.create(s"$dir/t", turnSchema, 4)
+    val rejDir = s"$dir/rej"
+    // one good row, one bad (null key)
+    val evs = eventsDF(spark, Seq(ins(0L, "c1", 0, "ok"), ins(1L, null, 0, "bad")))
+      .withColumnRenamed("schemaV", "schema_v")
+
+    // crash-between-quarantine-and-commit shape: the epoch's quarantine
+    // partition already holds rows (from the aborted first attempt, here
+    // seeded stale) when the SAME epoch re-runs — dynamic partition
+    // overwrite must replace, not append
+    val stale = eventsDF(spark, Seq(ins(9L, null, 9, "stale"), ins(10L, null, 9, "stale2")))
+      .withColumnRenamed("schemaV", "schema_v")
+      .withColumn("_error", lit("stale")).withColumn("_rejected_at_epoch", lit(0L))
+    stale.write.partitionBy("_rejected_at_epoch").parquet(rejDir)
+    assert(spark.read.parquet(rejDir).count() == 2)
+
+    val r1 = CdcApply.applyBatch(spark, table, evs, epoch = Some(("q", 0L)), rejectedDir = Some(rejDir))
+    assert(!r1.skipped && r1.rejected == 1L)
+    assert(spark.read.parquet(rejDir).count() == 1, "epoch partition must be overwritten, not appended")
+
+    // re-delivery AFTER commit: skipped entirely, quarantine untouched
+    val r2 = CdcApply.applyBatch(spark, table, evs, epoch = Some(("q", 0L)), rejectedDir = Some(rejDir))
+    assert(r2.skipped)
+    assert(spark.read.parquet(rejDir).count() == 1)
+
+    // a different epoch's rejects land in their own partition
+    val evs2 = eventsDF(spark, Seq(ins(2L, null, 1, "bad2")))
+      .withColumnRenamed("schemaV", "schema_v")
+    CdcApply.applyBatch(spark, table, evs2, epoch = Some(("q", 1L)), rejectedDir = Some(rejDir))
+    val rej = spark.read.parquet(rejDir)
+    assert(rej.count() == 2)
+    // partition-column type inference reads the epoch back as int
+    assert(rej.select("_rejected_at_epoch").distinct().collect()
+      .map(_.get(0).toString.toLong).sorted.toSeq == Seq(0L, 1L))
   }
 
   test("primitive record key: key column maps to conv_id; tombstone is a series delete") {

@@ -94,6 +94,39 @@ class IceLiteSpec extends SparkSuite {
     assert(t3.snapshot(oldest).version == oldest)
   }
 
+  test("crash between create's v1 link and c1 checkpoint: table still readable (fold from empty)") {
+    val dir = tmpDir("icelite-crashcreate") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    t.commit(p => p.copy(properties = p.properties + ("k" -> "v")))
+    // simulate the crash window: the checkpoint never landed
+    Files.delete(java.nio.file.Paths.get(dir, "snap", f"c${1L}%010d.json"))
+    val t2 = IceLite.load(dir)
+    assert(t2.current.properties("k") == "v")
+    assert(t2.current.version == 2L)
+    t2.commit(p => p.copy(properties = p.properties + ("k2" -> "v2"))) // still writable
+    assert(IceLite.load(dir).current.properties("k2") == "v2")
+  }
+
+  test("pre-diff-build tables (full-snapshot v-files) stay readable and extendable") {
+    val dir = tmpDir("icelite-oldfmt") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    // hand-write v2 in the OLD format: a FULL snapshot, no filesOps
+    val full = IceLite.Snapshot(2L, 1L, turnSchema.json, 4,
+      Map(0 -> Seq("data/old/bucket=0/p1.parquet")),
+      Map("epoch:legacy" -> "7"), Map("rowsWritten" -> 5L))
+    Files.writeString(java.nio.file.Paths.get(dir, "snap", f"v${2L}%010d.json"), IceLite.toJson(full))
+    val t2 = IceLite.load(dir)
+    assert(t2.current == full)
+    // a NEW (diff-format) commit folds on top of the old-format state
+    t2.commit(p => p.copy(files = p.files.updated(1, Seq("data/new/bucket=1/p2.parquet"))))
+    val s = IceLite.load(dir).current
+    assert(s.version == 3L)
+    assert(s.files == Map(
+      0 -> Seq("data/old/bucket=0/p1.parquet"),
+      1 -> Seq("data/new/bucket=1/p2.parquet")))
+    assert(s.properties("epoch:legacy") == "7")
+  }
+
   test("tailing reader folds exactly ONE diff per new commit; writer reads are cache hits") {
     val dir = tmpDir("icelite-tail") + "/t"
     val writer = IceLite.create(dir, turnSchema, 4)

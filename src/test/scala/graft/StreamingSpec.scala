@@ -153,6 +153,24 @@ class StreamingSpec extends SparkSuite {
     assert(triples(IceLite.load(s"$root/tables/alpha")) == Seq(("cA", 0, "a0")))
   }
 
+  test("tableNameCase: case-variant topics fold into ONE table with every slice applied") {
+    val root = tmpDir("stream-casefold")
+    val evs = Seq(ins(0L, "cA", 0, "a0"), ins(1L, "cB", 0, "b0"))
+    eventsDF(spark, evs)
+      .withColumn("schema_v", lit(2)).drop("schemaV")
+      .withColumn("topic", when(col("conv_id") === "cA", lit("Alpha")).otherwise(lit("alpha")))
+      .write.parquet(s"$root/log/chunk=0")
+    val sc = CdcStream.StreamConfig(
+      s"$root/log", tableDir = s"$root/unused", checkpointDir = s"$root/ckpt",
+      routing = Some(CdcStream.Routing(s"$root/tables/" + "${topic}", tableNameCase = "upper")))
+    CdcStream.start(spark, sc).awaitTermination()
+    val t = IceLite.load(s"$root/tables/ALPHA")
+    val rows = t.read(spark).select("conv_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("cA", "cB"), "both case-variant topics' slices must land (no silent epoch skip)")
+    assert(!java.nio.file.Files.exists(Paths.get(s"$root/tables/Alpha")))
+    assert(!java.nio.file.Files.exists(Paths.get(s"$root/tables/alpha")))
+  }
+
   test("routing tableNameCase folds the ${topic} substitution (reference `uppercase` flag)") {
     val r = CdcStream.Routing("/x/${topic}", tableNameCase = "upper")
     assert(r.tableDirFor("Alpha") == "/x/ALPHA")
