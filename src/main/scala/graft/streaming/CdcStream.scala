@@ -252,9 +252,16 @@ object CdcStream {
         // tables idle in the cadence epoch. Crash-safe: expiry is
         // idempotent and never touches files referenced by surviving
         // snapshots.
-        if (cfg.maintenanceEvery > 0 && (epochId + 1) % cfg.maintenanceEvery == 0)
+        if (cfg.maintenanceEvery > 0 && (epochId + 1) % cfg.maintenanceEvery == 0) {
+          // generational small-file fold on the append-only event log
+          // (one-plus files per bucket per epoch forever otherwise):
+          // only sub-64MB files are merged, so each run costs O(data
+          // appended since the last run), not O(log history)
+          logTable.foreach(_.compact(spark, maxFilesPerBucket = 8,
+            onlySmallerThan = 64L << 20))
           (touchedTables ++ routedTables.values ++ logTable).toSeq.distinct
             .foreach(_.expireSnapshots(cfg.keepSnapshots))
+        }
         ()
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

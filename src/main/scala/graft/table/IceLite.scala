@@ -281,17 +281,35 @@ final class IceLiteTable(val dir: String) {
   /** Compact buckets that have accumulated more than `maxFilesPerBucket`
     * data files (append-mode fragmentation) into one sorted file each.
     * Returns the number of buckets compacted.
+    *
+    * Generational mode (`onlySmallerThan` < Long.MaxValue): only files
+    * below the size threshold are folded — previously-compacted large
+    * files are left in place untouched. An append-only event log adds
+    * one-plus small files per bucket per epoch forever; whole-bucket
+    * compaction re-reads O(history) each run, while the generational run
+    * costs O(data appended since the last run) — the LSM size-tier
+    * shape, amortized O(1) per epoch. The fold keeps per-bucket file
+    * order (big survivors first, then the new merged file).
     */
   def compact(spark: SparkSession, maxFilesPerBucket: Int = 8,
-              sortCols: Seq[String] = Seq("conv_id", "turn_idx")): Int = {
+              sortCols: Seq[String] = Seq("conv_id", "turn_idx"),
+              onlySmallerThan: Long = Long.MaxValue): Int = {
     import org.apache.spark.sql.functions.col
     val cur = current
-    val fragmented = cur.files.filter(_._2.size > maxFilesPerBucket).keys.toSet
-    if (fragmented.isEmpty) return 0
+    def smallOf(fs: Seq[String]): Seq[String] =
+      if (onlySmallerThan == Long.MaxValue) fs
+      else fs.filter { rel =>
+        val p = Paths.get(dir).resolve(rel)
+        Files.exists(p) && Files.size(p) < onlySmallerThan
+      }
+    val targets: Map[Int, Seq[String]] = cur.files
+      .map { case (b, fs) => b -> smallOf(fs) }
+      .filter(_._2.size > maxFilesPerBucket)
+    if (targets.isEmpty) return 0
     val stage = newStageDir()
     val sch = schema
-    fragmented.foreach { b =>
-      val files = cur.files(b).map(rel => Paths.get(dir).resolve(rel).toString)
+    targets.foreach { case (b, small) =>
+      val files = small.map(rel => Paths.get(dir).resolve(rel).toString)
       spark.read.schema(sch).parquet(files: _*)
         .coalesce(1)
         .sortWithinPartitions(sortCols.map(col): _*)
@@ -306,10 +324,12 @@ final class IceLiteTable(val dir: String) {
       // read `cur` — otherwise dropping the newer files would lose data
       val safe = staged.filter { case (b, _) => parent.files.get(b).contains(cur.files(b)) }
       parent.copy(
-        files = parent.files ++ safe,
+        files = parent.files ++ safe.map { case (b, merged) =>
+          b -> ((cur.files(b).diff(targets(b))) ++ merged)
+        },
         metrics = Map("bucketsCompacted" -> safe.size.toLong))
     }
-    fragmented.size
+    targets.size
   }
 
   /** Fold outstanding MOR delta files back into base files for buckets

@@ -49,6 +49,36 @@ class EventLogSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("generational compaction folds only small files; prior-generation files untouched") {
+    val dir = tmpDir("compact-gen") + "/t"
+    val t = IceLite.create(dir, EventLogApply.logSchema(Schemas.transcript), 1)
+    // generation 1: several epochs, fold them all into one big file
+    (0 until 5).foreach { i =>
+      EventLogApply.appendBatch(spark, t,
+        eventsDF(spark, (0 until 20).map(j => ins((i * 20 + j).toLong, s"c$i-$j", 0, s"v$i-$j"))),
+        epoch = Some(("g", i.toLong)))
+    }
+    assert(t.compact(spark, maxFilesPerBucket = 1) == 1)
+    val gen1 = t.current.files(0)
+    assert(gen1.size == 1)
+    val gen1Size = java.nio.file.Files.size(java.nio.file.Paths.get(dir).resolve(gen1.head))
+
+    // generation 2: more small epochs on top
+    (5 until 10).foreach { i =>
+      EventLogApply.appendBatch(spark, t,
+        eventsDF(spark, Seq(ins((i * 100).toLong, s"cx$i", 0, s"w$i"))), epoch = Some(("g", i.toLong)))
+    }
+    val before = t.read(spark).orderBy("_offset").collect().map(_.toString).toSeq
+    // fold ONLY files smaller than the gen-1 file: gen-1 must survive in
+    // place (O(appended-since-last-run) cost, not O(log history))
+    val n = t.compact(spark, maxFilesPerBucket = 1, onlySmallerThan = gen1Size)
+    assert(n == 1)
+    val files = t.current.files(0)
+    assert(files.contains(gen1.head), "prior-generation file must not be rewritten")
+    assert(files.size == 2, s"expected gen1 + one merged file, got $files")
+    assert(t.read(spark).orderBy("_offset").collect().map(_.toString).toSeq == before)
+  }
+
   test("expireSnapshots deletes old snapshots and orphaned data files only") {
     val dir = tmpDir("expire") + "/t"
     val t = IceLite.create(dir, TestHelpers.turnSchema, 4)
