@@ -218,7 +218,12 @@ object CdcApply {
           val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
           val nWipeEvents = lineage.map(_.getAs[Long]("n_wipes")).sum
           val touched = lineage.flatMap(_.getAs[scala.collection.Seq[Int]]("buckets")).toSet
-          writeQuarantine(rejectedCount)
+          // same ordering rule as the MOR path: epoch-tagged rejects land
+          // BEFORE the commit (idempotent via dynamic partition
+          // overwrite); ad-hoc rejects APPEND and so wait for a
+          // successful commit (a failed commit + re-apply would
+          // double-count them otherwise)
+          if (epoch.isDefined) writeQuarantine(rejectedCount)
 
           // series wipes: distributed aggregate over the batch — never
           // collected to the driver; broadcast into the fold/merge only
@@ -243,10 +248,13 @@ object CdcApply {
             // Nothing to merge (e.g. all events invalid) — still commit the
             // epoch marker so re-delivery stays a no-op.
             val snap = commitSnapshot(table, Map.empty, touched, evolved, epoch, lineage, 0L, eventsSeen, rejectedCount)
+            if (epoch.isEmpty) writeQuarantine(rejectedCount)
             return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
           }
-          applyCow(spark, table, normalize(actions), wipes, touched, evolved, spec, epoch, lineage,
+          val r = applyCow(spark, table, normalize(actions), wipes, touched, evolved, spec, epoch, lineage,
             eventsSeen, rejectedCount)
+          if (epoch.isEmpty) writeQuarantine(rejectedCount)
+          r
       }
       // amortized copy-on-write moment: fold delta-heavy buckets back to
       // base files (bounds read-time merge work; per-batch write cost

@@ -105,9 +105,12 @@ object CdcStream {
       routing: Option[Routing] = None,
       /** Automatic metadata maintenance: every this many epochs, expire
         * old snapshots (keeping [[keepSnapshots]]) on every table this
-        * stream writes — bounding the snapshot chain + on-disk metadata
-        * without an operator running maintenance by hand. Driver-side
-        * file work only, no Spark jobs. <=0 disables. */
+        * stream writes, and generationally fold the event log's small
+        * files — bounding the snapshot chain, on-disk metadata, and log
+        * file count without an operator running maintenance by hand.
+        * Snapshot expiry is driver-side file work; the event-log fold is
+        * a Spark job costing O(data appended since the last fold), paid
+        * inside the cadence epoch. <=0 disables. */
       maintenanceEvery: Int = 64,
       /** Snapshots kept per table by automatic maintenance (time-travel
         * window; expiry deletes orphaned data files of older versions). */
@@ -192,7 +195,7 @@ object CdcStream {
             // — no job at all once every table matches the union envelope.
             val afterT = batch.schema("after").dataType.asInstanceOf[StructType]
             val knownByGroup: Map[String, Option[Set[String]]] = groups.map { case (f, _) =>
-              val dir = r.tableDirTemplate.replace("${topic}", f)
+              val dir = r.tableDirFor(f) // folding is idempotent on a folded name
               val handle = routedTables.get(dir).orElse(
                 if (IceLite.exists(dir)) Some(routedTables.getOrElseUpdate(dir, IceLite.load(dir))) else None)
               f -> handle.map(_.schema.fieldNames.toSet)
@@ -222,12 +225,11 @@ object CdcStream {
             try {
               val applies = groups.map { case (folded, ts) =>
                 Future {
-                  val dir = r.tableDirTemplate.replace("${topic}", folded)
+                  val dir = r.tableDirFor(folded)
                   val slice0 = batch.filter(col(r.topicColumn).isin(ts: _*)).drop(r.topicColumn)
                   val live = ts.flatMap(t => liveByTopic.getOrElse(t, Set.empty)).toSet
                   val keep = afterT.fieldNames.toSeq.filter(n =>
-                    knownByGroup(folded).exists(_.contains(n)) || live.contains(n) ||
-                      candByGroup(folded).isEmpty)
+                    knownByGroup(folded).exists(_.contains(n)) || live.contains(n))
                   // never project to an empty struct (all-tombstone
                   // first-sight slice): fall back to the union envelope
                   val slice =

@@ -110,13 +110,26 @@ final class IceLiteTable(val dir: String) {
       ckv match {
         case Some(k) if !cacheUsable || k > c.version => readCheckpoint(cFile(k))
         case _ if cacheUsable => c
-        case None if listSnapshotVersions.headOption.contains(1L) =>
-          // no checkpoint at all but the chain is complete from v1 (e.g. a
-          // crash between create()'s v1 link and its c1 checkpoint write):
-          // v1's diff is against the empty parent, so fold from scratch
-          emptySnapshot
-        case _ => throw new IllegalStateException(
-          s"no checkpoint at or below version $version in $snapDir — corrupt or expired table metadata")
+        case None =>
+          listSnapshotVersions.headOption match {
+            case Some(1L) =>
+              // no checkpoint but the chain is complete from v1 (e.g. a
+              // crash between create()'s v1 link and its c1 checkpoint
+              // write): v1's diff is against the empty parent
+              emptySnapshot
+            case Some(v0) if v0 <= version =>
+              // pre-diff-build table whose history was expired (old
+              // expiry wrote no checkpoints): every old-format v-file is
+              // a self-sufficient full snapshot — seed from the oldest
+              readDiffOrFull(vFile(v0)) match {
+                case Left(full) => full
+                case Right(_) => throw new IllegalStateException(
+                  s"no checkpoint at or below version $version in $snapDir and the oldest " +
+                    s"surviving v-file v$v0 is a diff — corrupt or expired table metadata")
+              }
+            case _ => throw new IllegalStateException(
+              s"no checkpoint at or below version $version in $snapDir — corrupt or expired table metadata")
+          }
       }
     }
     var steps = 0
@@ -319,7 +332,7 @@ final class IceLiteTable(val dir: String) {
         .parquet(s"$stage/bucket=$b")
     }
     val staged = stagedFilesByBucket(stage)
-    commit { parent =>
+    val snap = commit { parent =>
       // replace a bucket only if no concurrent commit changed it since we
       // read `cur` — otherwise dropping the newer files would lose data
       val safe = staged.filter { case (b, _) => parent.files.get(b).contains(cur.files(b)) }
@@ -329,7 +342,10 @@ final class IceLiteTable(val dir: String) {
         },
         metrics = Map("bucketsCompacted" -> safe.size.toLong))
     }
-    targets.size
+    // the COMMITTED count — the race guard may have dropped buckets a
+    // concurrent commit touched (their staged merge files stay orphaned
+    // until crash-orphan GC, same as any pre-publish crash)
+    snap.metrics("bucketsCompacted").toInt
   }
 
   /** Fold outstanding MOR delta files back into base files for buckets
@@ -381,7 +397,7 @@ final class IceLiteTable(val dir: String) {
       .partitionBy("bucket")
       .parquet(stage.toString)
     val staged = stagedFilesByBucket(stage)
-    commit { parent =>
+    val snap = commit { parent =>
       // replace a bucket only if no concurrent commit changed it since we
       // read `cur` — otherwise we would drop newer base or delta files
       val safe = targets.filter { b =>
@@ -392,7 +408,7 @@ final class IceLiteTable(val dir: String) {
         deltas = parent.deltas -- safe,
         metrics = Map("bucketsCompacted" -> safe.size.toLong))
     }
-    targets.size
+    snap.metrics("bucketsCompacted").toInt
   }
 
   /** CAS commit: build the child snapshot from the freshly-read current

@@ -154,18 +154,21 @@ class ConfigFidelitySpec extends SparkSuite {
     assert(e5.getMessage.contains("duplicate extract names"))
   }
 
-  test("ad-hoc (no-epoch) batches write quarantine once, after the commit") {
-    val dir = tmpDir("quar-adhoc")
-    val table = IceLite.create(s"$dir/t", turnSchema, 4)
-    val evs = eventsDF(spark, Seq(ins(0L, "c1", 0, "ok"), ins(1L, null, 0, "bad")))
-      .withColumnRenamed("schemaV", "schema_v")
-    val r = CdcApply.applyBatch(spark, table, evs, rejectedDir = Some(s"$dir/rej"))
-    assert(r.rejected == 1L)
-    assert(spark.read.parquet(s"$dir/rej").count() == 1)
-    // a second ad-hoc apply of the same data appends (at-least-once by
-    // design: no epoch marker exists to dedupe on)
-    CdcApply.applyBatch(spark, table, evs, rejectedDir = Some(s"$dir/rej"))
-    assert(spark.read.parquet(s"$dir/rej").count() == 2)
+  test("ad-hoc (no-epoch) batches write quarantine once, after the commit (both merge strategies)") {
+    for (strat <- Seq("mor", "cow")) {
+      val dir = tmpDir(s"quar-adhoc-$strat")
+      val table = IceLite.create(s"$dir/t", turnSchema, 4)
+      val spec = MergeSpec(mergeStrategy = strat)
+      val evs = eventsDF(spark, Seq(ins(0L, "c1", 0, "ok"), ins(1L, null, 0, "bad")))
+        .withColumnRenamed("schemaV", "schema_v")
+      val r = CdcApply.applyBatch(spark, table, evs, spec, rejectedDir = Some(s"$dir/rej"))
+      assert(r.rejected == 1L, strat)
+      assert(spark.read.parquet(s"$dir/rej").count() == 1, strat)
+      // a second ad-hoc apply of the same data appends (at-least-once by
+      // design: no epoch marker exists to dedupe on)
+      CdcApply.applyBatch(spark, table, evs, spec, rejectedDir = Some(s"$dir/rej"))
+      assert(spark.read.parquet(s"$dir/rej").count() == 2, strat)
+    }
   }
 
   test("quarantine is idempotent: epoch re-delivery adds nothing; epoch partition overwrites stale rows") {

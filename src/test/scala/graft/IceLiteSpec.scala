@@ -127,6 +127,25 @@ class IceLiteSpec extends SparkSuite {
     assert(s.properties("epoch:legacy") == "7")
   }
 
+  test("pre-diff tables with EXPIRED history (oldest v-file > 1, no checkpoints) remain readable") {
+    // round-2 expiry deleted old full-snapshot v-files and wrote no
+    // checkpoints; each surviving v-file is self-sufficient
+    val dir = tmpDir("icelite-oldexp") + "/t"
+    Files.createDirectories(java.nio.file.Paths.get(dir, "snap"))
+    Files.createDirectories(java.nio.file.Paths.get(dir, "data"))
+    val v3 = IceLite.Snapshot(3L, 2L, turnSchema.json, 4,
+      Map(0 -> Seq("data/a/p1.parquet")), Map("epoch:s" -> "2"), Map.empty)
+    val v4 = v3.copy(version = 4L, parentVersion = 3L,
+      files = v3.files.updated(1, Seq("data/b/p2.parquet")), properties = Map("epoch:s" -> "3"))
+    Files.writeString(java.nio.file.Paths.get(dir, "snap", f"v${3L}%010d.json"), IceLite.toJson(v3))
+    Files.writeString(java.nio.file.Paths.get(dir, "snap", f"v${4L}%010d.json"), IceLite.toJson(v4))
+    val t = IceLite.load(dir)
+    assert(t.current == v4)
+    assert(t.snapshot(3L) == v3)
+    t.commit(p => p.copy(properties = p.properties + ("k" -> "v"))) // new diff on top
+    assert(IceLite.load(dir).current.properties == Map("epoch:s" -> "3", "k" -> "v"))
+  }
+
   test("tailing reader folds exactly ONE diff per new commit; writer reads are cache hits") {
     val dir = tmpDir("icelite-tail") + "/t"
     val writer = IceLite.create(dir, turnSchema, 4)

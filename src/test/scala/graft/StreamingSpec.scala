@@ -167,8 +167,11 @@ class StreamingSpec extends SparkSuite {
     val t = IceLite.load(s"$root/tables/ALPHA")
     val rows = t.read(spark).select("conv_id").collect().map(_.getString(0)).sorted.toSeq
     assert(rows == Seq("cA", "cB"), "both case-variant topics' slices must land (no silent epoch skip)")
-    assert(!java.nio.file.Files.exists(Paths.get(s"$root/tables/Alpha")))
-    assert(!java.nio.file.Files.exists(Paths.get(s"$root/tables/alpha")))
+    // exactly one table dir (robust on case-insensitive filesystems too)
+    val dirs = java.nio.file.Files.list(Paths.get(s"$root/tables")).iterator()
+    var n = 0
+    while (dirs.hasNext) { dirs.next(); n += 1 }
+    assert(n == 1, s"expected exactly one folded table dir, found $n")
   }
 
   test("routing tableNameCase folds the ${topic} substitution (reference `uppercase` flag)") {
