@@ -88,6 +88,33 @@ object Demo {
     val (snaps, orphans) = stateTable.expireSnapshots(keepLast = 1)
     println(s"[demo] maintenance: compacted $compacted buckets; expired $snaps snapshots, deleted $orphans orphan files")
     println(s"[demo] event-log rows after compaction: ${eventLog.read(spark).count()}")
+
+    // multi-schema payload classification + typed extraction (reference
+    // value.converter.schema.names + extract/Cast-SMT): two JSON shapes
+    // on one topic, each with its own typed extract columns; an unmatched
+    // payload quarantines
+    import graft.model.{ExtractField, MergeSpec, PayloadSchema}
+    val msTable = IceLite.create(s"$dir/multischema", schema, 4)
+    val msSpec = MergeSpec(payloadSchemas = Seq(
+      PayloadSchema("chat", "$.msg", Seq(
+        ExtractField("kind", "$.msg.kind"), ExtractField("score", "$.msg.score", "int"))),
+      PayloadSchema("toolcall", "$.call", Seq(
+        ExtractField("kind", "$.call.tool"), ExtractField("score", "$.call.latency", "int")))))
+    val msEvents = log.filter(col("offset") < 3).withColumn("after",
+      when(col("after").isNotNull, struct(
+        col("after.conv_id"), col("after.turn_idx"), col("after.role"),
+        when(pmod(col("offset"), lit(3)) === 0, lit("""{"msg":{"kind":"greeting","score":9}}"""))
+          .when(pmod(col("offset"), lit(3)) === 1, lit("""{"call":{"tool":"search","latency":42}}"""))
+          .otherwise(lit("""{"other":true}""")).as("text"),
+        col("after.tool"), col("after.ts"))))
+    val msRes = CdcApply.applyBatch(spark, msTable, msEvents, msSpec,
+      epoch = Some(("ms", 0L)), rejectedDir = Some(s"$dir/ms-rej"))
+    val msRows = msTable.read(spark).select("conv_id", "kind", "score")
+      .orderBy("conv_id").collect()
+      .map(r => s"${r.getString(0)}:${r.getString(1)}:${r.get(2)}").mkString(", ")
+    println(s"[demo] multi-schema: classified ${msRes.eventsSeen - msRes.rejected} payloads " +
+      s"(quarantined ${msRes.rejected} unmatched) -> typed columns [$msRows]; " +
+      s"score type=${msTable.schema("score").dataType.simpleString}")
     spark.stop()
   }
 }
