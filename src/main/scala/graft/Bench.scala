@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
   * ONE JSON line. The cdc replay is the north-star metric
   * (change-events/sec); scaling evidence across parallelism levels is
   * produced by graft.ScalingBench (see BENCH/BASELINE.md).
+  *
+  * Self-diagnosing protocol (round-4): the CDC write path gets its own
+  * untimed warmup replay (codegen/JIT for the fold+write otherwise lands
+  * entirely on timed batch 0 — measured 4-6x the steady epoch), the
+  * replay phase is bracketed by its own spin probes (whole-run probes
+  * missed mid-run contention twice), and per-epoch walls plus a
+  * steady-state metric (`cdc_replay_steady`, best non-first epoch) are
+  * emitted so one noisy epoch cannot silently halve the headline.
   */
 object Bench {
 
@@ -31,6 +39,36 @@ object Bench {
     p.toString
   }
 
+  /** The ONE bench session config, shared verbatim by Bench and
+    * ScalingBench so the replay measured here reproduces there (config
+    * parity was a round-3 finding: a session knob added for the content
+    * queries silently diverged the two).
+    */
+  def session(cores: Int, appName: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      // 3 tasks per core per stage (not the 200 default): stage tails stop
+      // dominating; matches multi-executor sizing practice
+      .config("spark.sql.shuffle.partitions", (cores * 3).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // CPU-heavy-per-byte stages (lambda shingling/grams in q19/q21/q25)
+      // get coalesced to ONE task by AQE's default 1MB min partition size
+      // at small SF — the bytes are tiny, the per-byte CPU is not (q21
+      // measured 7.3s -> 3.9s). At real shuffle sizes total/parallelism
+      // >> 64k, so the lower floor changes nothing at scale. A/B'd on the
+      // 24M replay at local[32]: identical within run noise (the replay's
+      // shuffle partitions are far above 64k), so parity is safe.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDirs())
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
@@ -41,8 +79,12 @@ object Bench {
     }
   }
 
+  /** Run the CDC replay (generate log, apply per-batch through the full
+    * validate→fold→MOR-write→commit path) and return the per-batch wall
+    * times in seconds. Log generation is untimed (Kafka stand-in).
+    */
   def replay(spark: SparkSession, numEvents: Long, numBatches: Int, buckets: Int, logDir: String,
-             spec: graft.model.MergeSpec = null): Double = {
+             spec: graft.model.MergeSpec = null): Seq[Double] = {
     import graft.gen.ChangeLogGen
     import graft.operators.CdcApply
     import graft.table.IceLite
@@ -57,23 +99,23 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-table").toString
     val table = IceLite.create(s"$dir/t", schema, buckets)
 
-    val t0 = System.nanoTime()
-    (0 until numBatches).foreach { b =>
+    val walls = (0 until numBatches).map { b =>
       val tb = System.nanoTime()
       CdcApply.applyBatch(spark, table, log.filter(col("chunk") === b).drop("chunk"),
         spec = if (spec == null) graft.model.MergeSpec(numBuckets = buckets) else spec,
         epoch = Some(("bench", b.toLong)))
-      System.err.println(f"[bench] batch $b: ${(System.nanoTime() - tb) / 1e9}%.2fs")
+      val w = (System.nanoTime() - tb) / 1e9
+      System.err.println(f"[bench] batch $b: $w%.2fs")
+      w
     }
-    val sec = (System.nanoTime() - t0) / 1e9
     deleteRecursively(dir) // RAM-backed scratch — free it
-    sec
+    walls
   }
 
   /** Machine-contention probe: one fixed single-threaded spin loop
-    * (~150 ms on an idle core of this VM). Run before and after the
-    * bench and emitted in the JSON: if either reading is far above the
-    * idle calibration, the run was contended and its timings should be
+    * (~150 ms on an idle core of this VM). Run around each bench phase
+    * and emitted in the JSON: if a reading is far above the idle
+    * calibration, that phase was contended and its timings should be
     * read accordingly — the noise is self-evident from the output alone.
     */
   def spinProbeMs(): Double = {
@@ -90,24 +132,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // 3 tasks per core per stage (not the 200 default): stage tails stop
-      // dominating; identical to ScalingBench so the replay reproduces
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 3).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      // CPU-heavy-per-byte stages (lambda shingling/grams in q19/q21/q25)
-      // get coalesced to ONE task by AQE's default 1MB min partition size
-      // at small SF — the bytes are tiny, the per-byte CPU is not (q21
-      // measured 7.3s -> 3.9s). At real shuffle sizes total/parallelism
-      // >> 64k, so the lower floor changes nothing at scale.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", localDirs())
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = session(cpus.toInt, "graft-bench")
 
     // JVM/codegen warmup, untimed: the first query otherwise carries all
     // classloading + whole-stage-codegen compilation cost (measured ~3x
@@ -130,25 +155,43 @@ object Bench {
         results(name) = -1.0
       }
     }
+    val spinPostQueries = spinProbeMs()
 
     // headline: CDC replay throughput. Config (24M events, 2 epochs,
-    // 128 buckets) is IDENTICAL to graft.ScalingBench so the number
-    // quoted in BENCH/BASELINE.md reproduces here within run-to-run
-    // noise. North-rule-scale batches: per-batch fixed cost (~2-4s
-    // driver/planning) amortizes — small batches measure scheduler
-    // overhead, not the engine (see BENCH/BASELINE.md).
+    // 128 buckets) is IDENTICAL to graft.ScalingBench (same session
+    // builder, same replay helper) so the number quoted in
+    // BENCH/BASELINE.md reproduces here within run-to-run noise.
+    // North-rule-scale batches: per-batch fixed cost (~2-4s driver/
+    // planning) amortizes — small batches measure scheduler overhead,
+    // not the engine (see BENCH/BASELINE.md).
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "24000000").toLong
+    // CDC-path warmup, untimed (mirrors ScalingBench): the fold/write/
+    // commit codegen+JIT otherwise lands on timed batch 0 — measured
+    // 4-6x the warm epoch across three rounds of driver runs.
+    val warmDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-warm").toString
+    replay(spark, 1000000L, numBatches = 2, buckets = 128, logDir = warmDir)
+    deleteRecursively(warmDir)
+
     val logDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-log").toString
-    val replaySec = replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir)
+    val spinReplayPre = spinProbeMs()
+    val walls = replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir)
+    val spinReplayPost = spinProbeMs()
     deleteRecursively(logDir)
+    val replaySec = walls.sum
     results("cdc_replay") = replaySec
     val evps = nEvents / replaySec
+    // steady-state epoch: the best non-first epoch (batch 0 additionally
+    // carries the empty-table first-commit shape)
+    val perEpoch = nEvents / walls.size
+    val steady = walls.drop(1).min
+    val evpsSteady = perEpoch / steady
 
     val spinPost = spinProbeMs()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents,"spin_ms_pre":$spinPre%.0f,"spin_ms_post":$spinPost%.0f,"spin_ms_idle_ref":150}""")
+    val epochsJson = walls.map(w => f"$w%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents,"cdc_replay_epochs":$epochsJson,"cdc_replay_steady":$steady%.3f,"cdc_events_per_sec_steady":$evpsSteady%.0f,"spin_ms_pre":$spinPre%.0f,"spin_ms_post_queries":$spinPostQueries%.0f,"spin_ms_replay_pre":$spinReplayPre%.0f,"spin_ms_replay_post":$spinReplayPost%.0f,"spin_ms_post":$spinPost%.0f,"spin_ms_idle_ref":150}""")
     spark.stop()
   }
 }

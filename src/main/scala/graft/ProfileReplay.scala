@@ -39,7 +39,7 @@ object ProfileReplay {
           println(s"[prof] ===== run $rep fold=$f strategy=$strat =====")
           val logDir = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-log").toString
           val sec = Bench.replay(spark, nEvents, numBatches = nBatches, buckets = 128, logDir = logDir,
-            spec = graft.model.MergeSpec(numBuckets = 128, foldStrategy = f, mergeStrategy = strat))
+            spec = graft.model.MergeSpec(numBuckets = 128, foldStrategy = f, mergeStrategy = strat)).sum
           println(f"[prof] run $rep fold=$f strategy=$strat: $nEvents events in $sec%.1fs = ${nEvents / sec}%.0f ev/s")
           Bench.deleteRecursively(logDir)
         }

@@ -24,32 +24,14 @@ object ScalingBench {
 
   private val benchDir = "/root/repo/BENCH"
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-scaling-$cores")
-      // 3 tasks per core per stage: stage tails (last wave stragglers)
-      // stop dominating; matches multi-executor sizing practice
-      .config("spark.sql.shuffle.partitions", (cores * 3).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.ui.enabled", "false")
-      // shuffle/spill scratch on tmpfs: on a real cluster shuffle lands on
-      // per-executor local disks whose aggregate bandwidth scales with the
-      // cluster; the sandbox's single /tmp disk does not and would measure
-      // the disk, not the engine (same rationale as Bench.tmpBase)
-      .config("spark.local.dir", Bench.localDirs())
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
-
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt).getOrElse(8)
     val nEvents = args.drop(1).headOption.map(_.toLong).getOrElse(24000000L)
 
-    val spark = session(cores)
+    // identical session config to graft.Bench (ONE shared builder) so the
+    // driver-protocol replay and this scaling evidence measure the same
+    // engine configuration
+    val spark = Bench.session(cores, s"graft-scaling-$cores")
     val tmpBase = Bench.tmpBase
     // warm-up so JIT/codegen/classloading doesn't pollute the measured run
     val warmDir = Files.createTempDirectory(tmpBase, "warm").toString
@@ -59,7 +41,7 @@ object ScalingBench {
     // is the standard estimator of true capability under noisy neighbors
     val spinPre = Bench.spinProbeMs()
     val sec = (1 to 2).map { _ =>
-      Bench.replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir)
+      Bench.replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir).sum
     }.min
     val spinPost = Bench.spinProbeMs()
     spark.stop()

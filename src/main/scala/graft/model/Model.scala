@@ -166,6 +166,14 @@ final case class MergeSpec(
     /** The payload column inside `after` that extraction paths are
       * evaluated against. */
     extractSource: String = "text",
+    /** Target TABLE column name for the payload (reference
+      * `value.converter.payload.field.name`, README.md:97-102: the event
+      * payload lands in a configurable column). Empty (default) keeps the
+      * event's own field name ([[extractSource]]); when set, the
+      * [[extractSource]] field of the after-struct is RENAMED to this on
+      * the state-merge path — extraction paths still read the event-side
+      * name, the table carries the target name. */
+    payloadTargetName: String = "",
     /** Multi-schema payload classification (reference
       * `value.converter.schema.names`, README.md:55-73): when non-empty,
       * each record is classified to the first schema whose matchPath is

@@ -79,7 +79,7 @@ object CdcApply {
       epoch: Option[(String, Long)] = None,
       rejectedDir: Option[String] = None): BatchResult = {
 
-    val events0 = extractPayloadFields(events, spec)
+    val events0 = renamePayload(extractPayloadFields(events, spec), spec)
 
     val snap0 = table.current
     // Fast idempotence check (re-checked inside the commit CAS). A batch
@@ -525,6 +525,30 @@ object CdcApply {
         .withColumn("_extract_error", extractError)
     }
   }
+
+  /** Payload target-column rename (reference
+    * `value.converter.payload.field.name`, README.md:97-102): the event's
+    * payload field ([[MergeSpec.extractSource]]) lands in the table under
+    * [[MergeSpec.payloadTargetName]]. Pure struct re-projection inside the
+    * batch scan (no job); runs AFTER extraction, which reads the
+    * event-side name. Field order is preserved so the rename is an
+    * in-place column retitle, not a layout change.
+    */
+  private def renamePayload(events: DataFrame, spec: MergeSpec): DataFrame =
+    if (spec.payloadTargetName.isEmpty || spec.payloadTargetName == spec.extractSource) events
+    else {
+      val afterT = events.schema("after").dataType.asInstanceOf[StructType]
+      require(afterT.fieldNames.contains(spec.extractSource),
+        s"payloadTargetName rename: source column '${spec.extractSource}' not in the after-struct " +
+          s"(${afterT.fieldNames.mkString(", ")})")
+      require(!afterT.fieldNames.contains(spec.payloadTargetName),
+        s"payloadTargetName '${spec.payloadTargetName}' collides with an existing payload field")
+      val cols = afterT.fieldNames.toSeq.map { n =>
+        val target = if (n == spec.extractSource) spec.payloadTargetName else n
+        col(s"after.`$n`").as(target)
+      }
+      events.withColumn("after", when(col("after").isNotNull, struct(cols: _*)))
+    }
 
   /** Sum of row counts from parquet footers (driver-side metadata reads,
     * fanned out on a thread pool — one file per bucket per epoch adds up,

@@ -239,16 +239,50 @@ final class IceLiteTable(val dir: String) {
     * Iceberg's expire_snapshots + remove_orphan_files). Returns
     * (snapshotsDeleted, dataFilesDeleted). Readers of surviving snapshots
     * are unaffected: expiry never touches referenced files.
+    *
+    * Crash-tolerant: a crash partway through a PREVIOUS expiry's v-file
+    * deletes (after its boundary checkpoint landed) leaves orphan diff
+    * v-files whose ancestor chain is gone. The fold therefore seeds from
+    * the OLDEST state with a complete forward chain (a checkpoint at or
+    * above `oldest surviving v - 1`, the empty parent when the chain
+    * starts at v1, or an old-format full-snapshot v-file); v-files below
+    * that seed are deleted WITHOUT orphan-ref collection — their data
+    * refs are unknowable without the expired ancestors, so files only
+    * they referenced stay on disk (same class as pre-publish crash
+    * orphans) rather than risking a wrong delete.
+    *
+    * `keepLast` is clamped to >= 1: keeping zero snapshots would delete
+    * every v-file and leave an unloadable table (checkpoints survive but
+    * currentVersion would be 0).
     */
   def expireSnapshots(keepLast: Int = 2): (Int, Int) = {
+    val keepN = math.max(1, keepLast)
     def refs(s: Snapshot): Iterable[String] = s.files.values.flatten ++ s.deltas.values.flatten
     val versions = listSnapshotVersions
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    if (versions.isEmpty) return (0, 0)
+    // the contiguous suffix ending at the current version is the foldable
+    // chain; anything below a gap is a crashed-expiry leftover
+    val suffix = versions.foldLeft(List.empty[Long]) {
+      case (prev :: rest, v) if v == prev + 1 => v :: prev :: rest
+      case (_, v)                             => List(v)
+    }.reverse
+    val keep = suffix.takeRight(keepN)
+    val keepSet = keep.toSet
+    val drop = versions.filterNot(keepSet)
     if (drop.isEmpty) return (0, 0)
-    // ONE forward fold over the whole chain (snapshot(v) per version would
-    // re-walk from a checkpoint each time), collecting per-version refs
-    // and the state at the expiry boundary.
-    var s = snapshot(versions.head)
+    // fold seed: oldest checkpoint whose forward chain is complete; else
+    // the empty parent (chain from v1); else an old-format full v-file
+    val h = suffix.head
+    val usableCks = listCheckpointVersions.filter(c => c >= h - 1 && c <= versions.last)
+    var s: Snapshot =
+      if (usableCks.nonEmpty) readCheckpoint(cFile(usableCks.min))
+      else if (h == 1L) emptySnapshot
+      else readDiffOrFull(vFile(h)) match {
+        case Left(full) => full
+        case Right(_) => throw new IllegalStateException(
+          s"cannot expire $dir: oldest foldable v-file v$h is a diff and no checkpoint " +
+            s"at or above v${h - 1} exists — corrupt table metadata")
+      }
     val isDrop = drop.toSet
     val deadRefs = scala.collection.mutable.Set.empty[String]
     val liveRefs = scala.collection.mutable.Set.empty[String]
@@ -258,7 +292,7 @@ final class IceLiteTable(val dir: String) {
       if (keep.headOption.contains(x.version)) boundary = x
     }
     record(s)
-    versions.tail.foreach { v =>
+    suffix.filter(_ > s.version).foreach { v =>
       s = readDiffOrFull(vFile(v)) match {
         case Right(d)   => fold(s, d)
         case Left(full) => full

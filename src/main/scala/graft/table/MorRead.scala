@@ -1,5 +1,7 @@
 package graft.table
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,10 +31,27 @@ import graft.model.NetAction
   *    seq == W and survive by construction (the batch fold already
   *    dropped events at or before the wipe offset).
   *
-  * One hash-partitioned aggregation over base ∪ deltas — the same shape
-  * and scale behavior as the in-batch fold (SURVEY.md §2.A A5/A6).
+  * Read amplification is O(deltas + touched base rows), NOT O(touched
+  * bucket): base rows whose key no delta touches take a shuffle-free
+  * pass-through (broadcast anti-join against the delta key set), and only
+  * the touched subset enters the fold aggregation. Deltas are O(changes)
+  * and bounded per bucket by the compaction threshold, so the touched-key
+  * set is broadcastable by construction; a defensive size gate
+  * ([[PrunedReadMaxDeltaBytes]]) falls back to the full-bucket fold —
+  * correct at any scale, just the pre-pruning shuffle shape. The
+  * reference analogue: reads against an indexed table never rescan it
+  * (`/root/reference/README.md:19-24`); Iceberg's equality-delete reads
+  * use the same anti-join-against-delete-keys shape.
   */
 object MorRead {
+
+  /** Above this many total delta BYTES (across the buckets being read),
+    * the touched-key set is no longer assumed broadcastable and the read
+    * falls back to the full fold (one hash aggregation over base ∪
+    * deltas). Compaction keeps per-bucket deltas far below this; the gate
+    * only matters for compaction-disabled tables.
+    */
+  val PrunedReadMaxDeltaBytes: Long = 256L << 20
 
   /** Physical schema of a delta file (the `row` struct uses the table
     * schema as of the writing commit; later reads widen it — missing
@@ -52,18 +71,11 @@ object MorRead {
       spark: SparkSession,
       tableSchema: StructType,
       base: DataFrame,
-      deltaPaths: Seq[String]): DataFrame = {
+      deltaPaths: Seq[String],
+      maxPrunedDeltaBytes: Long = PrunedReadMaxDeltaBytes): DataFrame = {
     if (deltaPaths.isEmpty) return base
     val cols = tableSchema.fieldNames.toSeq
     val deltas = spark.read.schema(deltaSchema(tableSchema)).parquet(deltaPaths: _*)
-
-    val all = base
-      .select(
-        col("conv_id"), col("turn_idx"),
-        lit(NetAction.Put).as("action"),
-        struct(cols.map(col): _*).as("row"),
-        lit(0L).as("seq"))
-      .unionByName(deltas.select("conv_id", "turn_idx", "action", "row", "seq"))
 
     // wipes are usually rare, but can be bulk (GDPR-style batch deletes)
     // — no broadcast hint; AQE broadcasts when the aggregate is small
@@ -71,6 +83,49 @@ object MorRead {
       .filter(col("action") === NetAction.Wipe)
       .groupBy("conv_id")
       .agg(max("seq").as("wipe_seq"))
+
+    // driver-side metadata only: decides the plan shape, runs no job
+    val deltaBytes = deltaPaths.iterator.map { p =>
+      val f = Paths.get(p)
+      if (Files.exists(f)) Files.size(f) else 0L
+    }.sum
+
+    if (deltaBytes <= maxPrunedDeltaBytes) {
+      // ---- pruned formulation: untouched base rows never shuffle ----
+      // touched keys (point actions) and wiped conversations are both
+      // O(changes); broadcast them so the base scan splits narrowly into
+      // pass-through ∪ fold-input with NO exchange of untouched payloads
+      val touchedKeys = deltas.filter(col("turn_idx").isNotNull)
+        .select("conv_id", "turn_idx").distinct()
+      val wipedConvs = wipes.select("conv_id")
+      val passthrough = base
+        .join(broadcast(wipedConvs), Seq("conv_id"), "left_anti")
+        .join(broadcast(touchedKeys), Seq("conv_id", "turn_idx"), "left_anti")
+      // a wiped-conv base row outside the touched-key set is simply gone
+      // (its seq 0 always loses to the wipe); one that IS a touched key
+      // goes through the fold, whose wipe join resolves it exactly
+      val foldBase = base
+        .join(broadcast(touchedKeys), Seq("conv_id", "turn_idx"), "left_semi")
+      passthrough.select(cols.map(col): _*)
+        .unionByName(fold(foldBase, deltas, wipes, cols))
+    } else {
+      fold(base, deltas, wipes, cols)
+    }
+  }
+
+  /** The fold aggregation over (a subset of) base rows ∪ delta actions —
+    * one hash-partitioned aggregation, the same shape and scale behavior
+    * as the in-batch fold (SURVEY.md §2.A A5/A6).
+    */
+  private def fold(
+      base: DataFrame, deltas: DataFrame, wipes: DataFrame, cols: Seq[String]): DataFrame = {
+    val all = base
+      .select(
+        col("conv_id"), col("turn_idx"),
+        lit(NetAction.Put).as("action"),
+        struct(cols.map(col): _*).as("row"),
+        lit(0L).as("seq"))
+      .unionByName(deltas.select("conv_id", "turn_idx", "action", "row", "seq"))
 
     val aSeq = when(col("action").isin(NetAction.Put, NetAction.Del), col("seq"))
     val vSeq = when(col("action").isin(NetAction.Put, NetAction.UpdateIfExists), col("seq"))

@@ -209,6 +209,47 @@ class ConfigFidelitySpec extends SparkSuite {
       .map(_.get(0).toString.toLong).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("payload target-column override: event field `text` lands as table column `event`") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("payload-target")
+    val targetSchema = StructType(turnSchema.fields.map(f =>
+      if (f.name == "text") f.copy(name = "event") else f))
+    val table = IceLite.create(s"$dir/t", targetSchema, 4)
+    val spec = MergeSpec(payloadTargetName = "event")
+    val evs = Seq(ins(0L, "c1", 0, "hello"), ins(1L, "c1", 1, "world"), ups(2L, "c1", 0, "hi"))
+    CdcApply.applyBatch(spark, table,
+      eventsDF(spark, evs).withColumnRenamed("schemaV", "schema_v"), spec)
+
+    assert(table.schema.fieldNames.contains("event") && !table.schema.fieldNames.contains("text"))
+    val rows = table.read(spark).select("conv_id", "turn_idx", "event")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(rows == Seq(("c1", 0, "hi"), ("c1", 1, "world")))
+  }
+
+  test("payload target-column rename composes with extraction (paths read the event-side name)") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("payload-target-extract")
+    val targetSchema = StructType(turnSchema.fields.map(f =>
+      if (f.name == "text") f.copy(name = "event") else f))
+    val table = IceLite.create(s"$dir/t", targetSchema, 4)
+    val spec = MergeSpec(
+      payloadTargetName = "event",
+      extractFields = Seq(ExtractField("lang", "$.lang")),
+      extractSource = "text") // extraction is configured against the EVENT field name
+    CdcApply.applyBatch(spark, table,
+      eventsDF(spark, Seq(ins(0L, "c1", 0, """{"lang":"en"}""")))
+        .withColumnRenamed("schemaV", "schema_v"), spec)
+    val r = table.read(spark).select("event", "lang").collect().head
+    assert(r.getString(0) == """{"lang":"en"}""" && r.getString(1) == "en")
+    // a rename target colliding with an existing field is rejected
+    val e = intercept[IllegalArgumentException](
+      CdcApply.applyBatch(spark, table,
+        eventsDF(spark, Seq(ins(1L, "c1", 1, "x"))).withColumnRenamed("schemaV", "schema_v"),
+        MergeSpec(payloadTargetName = "role")))
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("primitive record key: key column maps to conv_id; tombstone is a series delete") {
     val dir = tmpDir("prim-key")
     val table = IceLite.create(s"$dir/t", turnSchema, 4)

@@ -94,6 +94,45 @@ class IceLiteSpec extends SparkSuite {
     assert(t3.snapshot(oldest).version == oldest)
   }
 
+  test("expiry crash window: gapped diff chain (partial v-file deletes) — next expiry recovers") {
+    val dir = tmpDir("icelite-expirycrash") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    (1 to 20).foreach { i =>
+      t.commit(p => p.copy(
+        deltas = p.deltas.updated(i % 4, p.deltas.getOrElse(i % 4, Seq.empty) :+ s"data/x/f$i.parquet"),
+        lastDeltaSeq = p.version + 1))
+    }
+    // simulate the ADVICE crash: a previous expireSnapshots(keepLast=5)
+    // wrote its boundary checkpoint c17, then crashed after deleting only
+    // v2..v9 — v10..v16 survive as diffs whose ancestors are gone, while
+    // the stale c1 checkpoint still exists
+    val boundaryV = t.currentVersion - 4 // 17
+    Files.writeString(Paths.get(dir, "snap", f"c$boundaryV%010d.json"),
+      IceLite.toJson(t.snapshot(boundaryV)))
+    (2L to 9L).foreach(v => Files.delete(Paths.get(dir, "snap", f"v$v%010d.json")))
+    // the table stays loadable (current folds from the boundary checkpoint)
+    val t2 = IceLite.load(dir)
+    assert(t2.current == t.current)
+    // and the NEXT expiry must not die on the gapped chain (the old
+    // implementation seeded at stale c1 and hit NoSuchFileException on v2)
+    val (snaps, _) = t2.expireSnapshots(keepLast = 3)
+    assert(snaps > 0)
+    val t3 = IceLite.load(dir)
+    assert(t3.current == t.current)
+    t3.commit(p => p.copy(properties = p.properties + ("post" -> "ok"))) // still writable
+    assert(IceLite.load(dir).current.properties("post") == "ok")
+  }
+
+  test("expireSnapshots clamps keepLast to >= 1 (0 would leave an unloadable table)") {
+    val dir = tmpDir("icelite-keep0") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    (1 to 5).foreach(i => t.commit(p => p.copy(properties = p.properties + ("k" -> i.toString))))
+    t.expireSnapshots(keepLast = 0)
+    val t2 = IceLite.load(dir) // must not throw: the newest snapshot survives
+    assert(t2.currentVersion == 6L)
+    assert(t2.current.properties("k") == "5")
+  }
+
   test("crash between create's v1 link and c1 checkpoint: table still readable (fold from empty)") {
     val dir = tmpDir("icelite-crashcreate") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)

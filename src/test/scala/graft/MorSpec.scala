@@ -97,6 +97,61 @@ class MorSpec extends SparkSuite {
       want.map(x => (x.conv_id, x.turn_idx, x.text)))
   }
 
+  test("mor read prunes: deltas on few keys -> untouched base rows bypass the fold shuffle") {
+    val dir = tmpDir("mor-prunedread") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    // 2000-row base state (compacted), then one delta batch touching ~20 keys + 2 wipes
+    val seed = (0 until 2000).map(i => ins(i.toLong, f"c${i / 4}%04d", i % 4, s"v$i"))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, seed),
+      spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1000), epoch = Some(("p", 0L)))
+    assert(t.compactDeltas(spark, 0) > 0)
+    val touch = (0 until 20).map(i => ups(10000L + i, f"c${i * 7}%04d", i % 4, s"new$i")) ++
+      Seq(del(10100L, "c0003", None), del(10101L, "c0200", None))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, touch),
+      spec = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1000), epoch = Some(("p", 1L)))
+    assert(t.deltaFiles().nonEmpty)
+
+    val pruned = t.read(spark)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // pass-through = broadcast anti-joins; fold input = broadcast semi join
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+
+    // shuffled volume is O(deltas + touched rows), not O(bucket): with AQE
+    // off (deterministic plan), total shuffle-written records stay far
+    // below the 2000-row base
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shuffled = try {
+      val df = t.read(spark)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          // metric KEY is camel-case ("shuffleRecordsWritten"); match it
+          // case/format-insensitively
+          e.metrics.collect {
+            case (n, m) if n.toLowerCase.replaceAll("[^a-z]", "").contains("recordswritten") => m.value
+          }.sum
+      }.sum
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(shuffled > 0 && shuffled < 500,
+      s"pruned mor read shuffled $shuffled records for ~44 delta rows over a 2000-row base")
+
+    // the pruned and full-fold formulations agree exactly
+    val full = graft.table.MorRead.merged(spark, t.schema, t.readBase(spark), t.deltaFiles(),
+      maxPrunedDeltaBytes = 0L)
+    assert(full.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).contains("LeftAnti") == false)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "text").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(key(pruned) == key(full))
+    // and both match the sequential oracle
+    val want = OracleFold.rows(OracleFold.finalState(seed ++ touch))
+      .map(x => (x.conv_id, x.turn_idx, x.text))
+    assert(key(pruned) == want)
+  }
+
   test("schema drift across mor deltas survives read-merge and compaction") {
     val dir = tmpDir("mor-drift") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)

@@ -182,6 +182,33 @@ class StreamingSpec extends SparkSuite {
     intercept[IllegalArgumentException](CdcStream.Routing("/x/${topic}", tableNameCase = "title"))
   }
 
+  test("routed projection keeps the extraction source column even when all-null in a first-sight slice") {
+    val root = tmpDir("stream-route-extract")
+    // topic beta's ONLY event on its first-sight batch carries a null
+    // payload (`text`): the live-column projection would drop `text`, and
+    // with extraction configured every retry of the epoch would then fail
+    // on after.`text` (ADVICE regression)
+    val evs = Seq(
+      ins(0L, "cA", 0, """{"lang":"en"}"""),
+      ins(1L, "cB", 0, null))
+    eventsDF(spark, evs)
+      .withColumn("schema_v", lit(2)).drop("schemaV")
+      .withColumn("topic", when(col("conv_id") === "cA", lit("alpha")).otherwise(lit("beta")))
+      .write.parquet(s"$root/log/chunk=0")
+    val sc = CdcStream.StreamConfig(
+      s"$root/log", tableDir = s"$root/unused", checkpointDir = s"$root/ckpt",
+      spec = graft.model.MergeSpec(
+        extractFields = Seq(graft.model.ExtractField("lang", "$.lang")), extractSource = "text"),
+      routing = Some(CdcStream.Routing(s"$root/tables/" + "${topic}")))
+    CdcStream.start(spark, sc).awaitTermination()
+    val ta = IceLite.load(s"$root/tables/alpha")
+    val tb = IceLite.load(s"$root/tables/beta")
+    assert(ta.read(spark).select("lang").collect().map(_.getString(0)).toSeq == Seq("en"))
+    assert(tb.schema.fieldNames.contains("text"),
+      "spec-referenced payload column must survive the per-topic projection")
+    assert(tb.read(spark).select("conv_id").collect().map(_.getString(0)).toSeq == Seq("cB"))
+  }
+
   test("automatic maintenance: snapshot chain stays bounded across a long streamed replay") {
     val root = tmpDir("stream-maint")
     val cfg = ChangeLogGen.GenConfig(numEvents = 1200, numConvs = 15, maxTurns = 5, logPartitions = 2)
