@@ -27,5 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // fixed-size, pre-faulted heap: without it the FIRST full-scale bench
+  // run in a JVM pays heap expansion + the young-gen resize churn
+  // (measured ~2x on the first 24M replay vs the second in the same JVM)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++ (if (sys.env.contains("GRAFT_GC_LOG")) Seq("-Xlog:gc*:stderr:time,uptime") else Seq.empty) ++
   (if (sys.env.get("GRAFT_GC").contains("parallel")) Seq("-XX:+UseParallelGC") else Seq.empty)

@@ -56,10 +56,10 @@ object Bench {
       // get coalesced to ONE task by AQE's default 1MB min partition size
       // at small SF — the bytes are tiny, the per-byte CPU is not (q21
       // measured 7.3s -> 3.9s). At real shuffle sizes total/parallelism
-      // >> 64k, so the lower floor changes nothing at scale. A/B'd on the
-      // 24M replay at local[32]: identical within run noise (the replay's
-      // shuffle partitions are far above 64k), so parity is safe.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // >> 64k, so the lower floor changes nothing at scale (A/B-able on
+      // the replay via GRAFT_MIN_PART; see BENCH/BASELINE.md).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_MIN_PART", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
@@ -99,15 +99,40 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-table").toString
     val table = IceLite.create(s"$dir/t", schema, buckets)
 
-    val walls = (0 until numBatches).map { b =>
-      val tb = System.nanoTime()
-      CdcApply.applyBatch(spark, table, log.filter(col("chunk") === b).drop("chunk"),
-        spec = if (spec == null) graft.model.MergeSpec(numBuckets = buckets) else spec,
-        epoch = Some(("bench", b.toLong)))
-      val w = (System.nanoTime() - tb) / 1e9
-      System.err.println(f"[bench] batch $b: $w%.2fs")
-      w
+    // Per-batch task-time accounting: separates "the engine did more
+    // work" (taskSum/cpu grow) from "the machine was slow" (wall grows,
+    // taskSum flat -> idle executors; taskSum grows but cpu flat ->
+    // tasks stalled on memory/steal). The sandbox VM's noise windows
+    // are otherwise indistinguishable from regressions.
+    val agg = new java.util.concurrent.atomic.AtomicReference((0L, 0L, 0L)) // runMs, cpuNs, gcMs
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        agg.updateAndGet { case (r, c, g) =>
+          (r + m.executorRunTime, c + m.executorCpuTime, g + m.jvmGCTime)
+        }
+        ()
+      }
     }
+    spark.sparkContext.addSparkListener(listener)
+    val walls = try {
+      (0 until numBatches).map { b =>
+        val before = agg.get()
+        val tb = System.nanoTime()
+        CdcApply.applyBatch(spark, table, log.filter(col("chunk") === b).drop("chunk"),
+          spec = if (spec == null) graft.model.MergeSpec(numBuckets = buckets) else spec,
+          epoch = Some(("bench", b.toLong)))
+        val w = (System.nanoTime() - tb) / 1e9
+        Thread.sleep(300) // listener bus drain (diagnostic only, untimed)
+        val after = agg.get()
+        val (runS, cpuS, gcS) =
+          ((after._1 - before._1) / 1e3, (after._2 - before._2) / 1e9, (after._3 - before._3) / 1e3)
+        System.err.println(f"[bench] batch $b: $w%.2fs " +
+          f"(taskSum=$runS%.1fs cpu=$cpuS%.1fs gc=$gcS%.1fs avgConc=${runS / math.max(w, 0.01)}%.1f)")
+        w
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
     deleteRecursively(dir) // RAM-backed scratch — free it
     walls
   }
@@ -127,6 +152,34 @@ object Bench {
     val ms = (System.nanoTime() - t0) / 1e6
     if (x == 42L) System.err.println("") // defeat dead-code elimination
     ms
+  }
+
+  private lazy val memProbeA = new Array[Long](16 << 20) // 128 MB
+  private lazy val memProbeB = new Array[Long](16 << 20)
+
+  /** Memory-bandwidth probe (single-thread triad over 2x128MB, GB/s).
+    * The CPU spin probe misses the noise that actually moves this
+    * workload: neighbor VMs saturating the socket's memory bandwidth
+    * showed clean ~160ms spins while replay walls swung 3x. Idle
+    * calibration on this VM: ~10-11 GB/s (matches the 1-thread
+    * STREAM-triad in BENCH/BASELINE.md); readings far below that mean
+    * the bandwidth was contended during the bracketed phase.
+    */
+  def memProbeGBs(): Double = {
+    val a = memProbeA; val b = memProbeB
+    var best = 0.0
+    var pass = 0
+    while (pass < 3) {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < a.length) { a(i) = b(i) * 3 + a(i); i += 1 }
+      val s = (System.nanoTime() - t0) / 1e9
+      val gbs = (3.0 * 8 * a.length) / s / 1e9 // 2 reads + 1 write per element
+      if (gbs > best) best = gbs
+      pass += 1
+    }
+    if (a(12345) == Long.MinValue) System.err.println("") // keep the writes live
+    best
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,8 +227,10 @@ object Bench {
 
     val logDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-log").toString
     val spinReplayPre = spinProbeMs()
+    val memReplayPre = memProbeGBs()
     val walls = replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir)
     val spinReplayPost = spinProbeMs()
+    val memReplayPost = memProbeGBs()
     deleteRecursively(logDir)
     val replaySec = walls.sum
     results("cdc_replay") = replaySec
@@ -191,7 +246,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val epochsJson = walls.map(w => f"$w%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents,"cdc_replay_epochs":$epochsJson,"cdc_replay_steady":$steady%.3f,"cdc_events_per_sec_steady":$evpsSteady%.0f,"spin_ms_pre":$spinPre%.0f,"spin_ms_post_queries":$spinPostQueries%.0f,"spin_ms_replay_pre":$spinReplayPre%.0f,"spin_ms_replay_post":$spinReplayPost%.0f,"spin_ms_post":$spinPost%.0f,"spin_ms_idle_ref":150}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents,"cdc_replay_epochs":$epochsJson,"cdc_replay_steady":$steady%.3f,"cdc_events_per_sec_steady":$evpsSteady%.0f,"spin_ms_pre":$spinPre%.0f,"spin_ms_post_queries":$spinPostQueries%.0f,"spin_ms_replay_pre":$spinReplayPre%.0f,"spin_ms_replay_post":$spinReplayPost%.0f,"spin_ms_post":$spinPost%.0f,"spin_ms_idle_ref":150,"mem_gbs_replay_pre":$memReplayPre%.1f,"mem_gbs_replay_post":$memReplayPost%.1f,"mem_gbs_idle_ref":10.5}""")
     spark.stop()
   }
 }

@@ -38,17 +38,23 @@ object ScalingBench {
     Bench.replay(spark, 1000000L, 2, 128, warmDir)
     val logDir = Files.createTempDirectory(tmpBase, s"graft-scale-log-$cores").toString
     // best-of-2: the sandbox VM shows ±2x run-to-run noise; min wall time
-    // is the standard estimator of true capability under noisy neighbors
-    val spinPre = Bench.spinProbeMs()
-    val sec = (1 to 2).map { _ =>
-      Bench.replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir).sum
-    }.min
-    val spinPost = Bench.spinProbeMs()
+    // is the standard estimator of true capability under noisy neighbors.
+    // Each run is bracketed by BOTH probes — the CPU spin loop and the
+    // memory-bandwidth triad (the noise that moves this workload is
+    // bandwidth contention, which clean spin probes do not see).
+    val perRun = (1 to 2).map { r =>
+      val spinPre = Bench.spinProbeMs(); val memPre = Bench.memProbeGBs()
+      val s = Bench.replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir).sum
+      val spinPost = Bench.spinProbeMs(); val memPost = Bench.memProbeGBs()
+      println(f"[scaling] run $r: $s%.1fs (spin $spinPre%.0f/$spinPost%.0f ms idle~150; " +
+        f"mem $memPre%.1f/$memPost%.1f GB/s idle~10.5)")
+      s
+    }
+    val sec = perRun.min
     spark.stop()
     Bench.deleteRecursively(warmDir); Bench.deleteRecursively(logDir)
     val evps = nEvents / sec
-    println(f"[scaling] local[$cores]: $nEvents events in $sec%.1fs = $evps%.0f events/s " +
-      f"(spin probe pre/post: $spinPre%.0f/$spinPost%.0f ms, idle ref ~150)")
+    println(f"[scaling] local[$cores]: $nEvents events in $sec%.1fs = $evps%.0f events/s (best of ${perRun.size})")
 
     Files.createDirectories(Paths.get(benchDir))
     Files.writeString(Paths.get(s"$benchDir/scaling-$cores.tsv"), f"$cores\t$nEvents\t$sec%.2f\t$evps%.1f\n")
