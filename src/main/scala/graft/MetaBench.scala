@@ -24,6 +24,10 @@ object MetaBench {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR scheduling: background maintenance (its own pool) shares
+      // task slots with ingest epochs instead of head-of-line blocking
+      // them on a saturated local cluster
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.local.dir", Bench.localDirs())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,6 +78,13 @@ object MetaBench {
     val head = median(warm.take(warm.size / 3).map(_._2))
     val tail = median(warm.takeRight(warm.size / 3).map(_._2))
     val worst = if (warm.isEmpty) 0L else warm.map(_._2).max
+    // attribution for the slow tail: is a slow epoch a maintenance-cadence
+    // epoch (or its immediate successor, which overlaps the background
+    // task), or host noise on an ordinary epoch?
+    def cadenceish(id: Long): String =
+      if ((id + 1) % 32 == 0) "cadence" else if (id % 32 == 0 && id > 0) "cadence+1" else "-"
+    val slowest = warm.sortBy(-_._2).take(5)
+      .map { case (id, ms) => s"epoch $id: ${ms}ms [${cadenceish(id)}]" }
     def countFiles(p: String): Int = {
       val s = java.nio.file.Files.list(Paths.get(p)); try s.count().toInt finally s.close()
     }
@@ -81,12 +92,15 @@ object MetaBench {
     val rows = table.read(spark).count()
     println(f"[metabench] epochs=${ds.size} head-median=${head}ms tail-median=${tail}ms " +
       f"worst=${worst}ms snapFiles=$snapFiles stateRows=$rows spin=$spinPre%.0f/$spinPost%.0f")
+    println(s"[metabench] slowest 5: ${slowest.mkString("; ")}")
 
     val md =
       f"""# BENCH — snapshot-metadata flatness over a long streamed replay
          |
          |${ds.size} streamed micro-batch epochs x $perEpoch%,d change events
-         |(CdcStream + event log, maintenanceEvery=32, keepSnapshots=8,
+         |(CdcStream + event log, maintenanceEvery=32, keepSnapshots=8 —
+         |maintenance runs on a BACKGROUND thread in its own FAIR scheduler
+         |pool, so cadence epochs share slots with it instead of stalling;
          |local[8], tmpfs; spin probes $spinPre%.0f/$spinPost%.0f ms, idle ~150).
          |
          || metric | value |
@@ -95,6 +109,7 @@ object MetaBench {
          || per-epoch trigger median, last third | $tail ms |
          || tail / head | ${tail.toDouble / math.max(head, 1)}%.2f |
          || worst epoch (incl. budgeted compaction + maintenance epochs) | $worst ms |
+         || slowest 5 epochs (cadence attribution) | ${slowest.mkString("; ")} |
          || snap-dir metadata files after ${ds.size} epochs | $snapFiles (bounded by keepSnapshots + cadence, not O(epochs)) |
          || final state rows | $rows |
          |

@@ -301,6 +301,12 @@ object CdcStream {
             val tables = (touchedTables ++ routedTables.values ++ logTable).toSeq.distinct
             pendingMaintenance(cfg.streamId) = Future {
               try {
+                // own scheduler pool: under spark.scheduler.mode=FAIR the
+                // maintenance job SHARES task slots with the overlapping
+                // ingest epochs instead of head-of-line blocking them
+                // (FIFO would drain the compact job's stages first on a
+                // saturated cluster); a no-op under default FIFO
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-maintenance")
                 logTable.foreach(_.compact(spark, maxFilesPerBucket = 8,
                   onlySmallerThan = 64L << 20))
                 tables.foreach(_.expireSnapshots(cfg.keepSnapshots))
