@@ -142,6 +142,55 @@ object ContentQueries {
       .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 3)
   }
 
+  /** Connected components over the duplicate-pair graph (q33) by
+    * iterative min-label propagation: every vertex starts labeled with
+    * its own doc_id; each round, a vertex takes the min of its own and
+    * its neighbors' labels; at fixpoint each component carries its min
+    * doc_id. The driver loop is control flow only (one `count` action
+    * per round to test convergence — no data is ever collected); each
+    * round is one shuffle join + one aggregation, all distributed.
+    *
+    * Scale: rounds needed = component DIAMETER, and duplicate components
+    * are tiny by construction (near-dup clusters; candidate volume ∝
+    * duplicate density) — single digits in practice, capped at 50 with a
+    * loud failure rather than a silent partial answer. Each round's
+    * result is EAGERLY `localCheckpoint`ed: without lineage truncation
+    * the plan doubles per round (next references labels twice) and the
+    * logical tree grows exponentially — the classic iterative-Spark
+    * failure, independent of data size. (On a multi-executor cluster
+    * with lossy storage, swap in reliable `checkpoint` — same shape.)
+    * This is the GraphFrames/Pregel CC shape; the large-star/small-star
+    * variant (O(log n) rounds on adversarial graphs) is a drop-in upgrade
+    * if a corpus ever shows deep chains.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = jaccardPairs(s, dir).select(col("ida"), col("idb"))
+    val edges = pairs
+      .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      require(rounds < 50, "dedupClusters did not converge in 50 rounds — pathological graph")
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("idb"), col("cluster_id").as("nl")), Seq("idb"))
+        .groupBy(col("ida").as("doc_id")).agg(min("nl").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true) // truncates lineage: plan depth stays O(1) across rounds
+      changed = next.join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   private def cosineJoin(probes: DataFrame, cands: DataFrame): DataFrame =
     probes.crossJoin(cands)
       .filter(col("vec_id") =!= col("pid"))
@@ -322,6 +371,13 @@ object ContentQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Duplicate-cluster assignment — the textbook-correct dedup grouping
+    // (q32's greedy pair drop under-merges A-B-C chains): connected
+    // components over the LSH+Jaccard duplicate graph, every document
+    // labeled with the min doc_id of its component (singletons label
+    // themselves). See [[dedupClusters]] for the scale analysis.
+    "q33_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
+
     // ===================== multimodal plumbing =====================
     "q29_mm_decode" -> ((s, dir) => {
       Multimodal.decode(s, Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -467,6 +523,17 @@ object ContentQueries {
          |$jaccardOracle)
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT idb FROM pairs)""".stripMargin,
+    // connected components as a transitive closure (fine at oracle scale:
+    // duplicate components are tiny); min reachable id = cluster id
+    "q33_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$jaccardOracle),
+         |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb AS a, ida AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
     "q29_mm_decode" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -47,6 +47,21 @@ class QueriesSpec extends SparkSuite {
     assert(df.filter(col("inter") * 10 < (col("na") + col("nb") - col("inter")) * 3).count() == 0)
   }
 
+  test("q33 clusters: one row per doc; endpoints of every dup pair share a cluster; labels are component minima") {
+    val labels = SparkEntry.queries("q33_dedup_clusters")(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(labels.count() == docs.count())
+    assert(labels.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    // every confirmed duplicate pair must be in one cluster
+    val pairs = SparkEntry.queries("q21_dedup_ngram_jaccard")(spark, dir).select("ida", "idb")
+    val la = labels.select(col("doc_id").as("ida"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("idb"), col("cluster_id").as("cb"))
+    assert(pairs.join(la, "ida").join(lb, "idb").filter(col("ca") =!= col("cb")).count() == 0)
+    // a cluster's label is a member of the cluster
+    assert(labels.join(labels.select(col("doc_id").as("cluster_id")).distinct(),
+      Seq("cluster_id"), "left_anti").count() == 0)
+  }
+
   test("q26 knn: exactly 3 neighbors per probe, no self-match") {
     val df = SparkEntry.queries("q26_embed_knn")(spark, dir)
     val perProbe = df.groupBy("pid").count().collect()
