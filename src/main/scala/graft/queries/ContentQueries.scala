@@ -169,8 +169,13 @@ object ContentQueries {
     val edges = pairs
       .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = t(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // iterate ONLY over the duplicate graph's vertices (duplicate-density
+    // sized): the corpus-sized singleton majority never changes label, so
+    // keeping it out of the loop turns every round's join from O(corpus)
+    // into O(duplicates); singletons are labeled with themselves at the
+    // end via one left join.
+    var labels = edges.select(col("ida").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(false).as("chg"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
@@ -179,16 +184,19 @@ object ContentQueries {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("idb"), col("cluster_id").as("nl")), Seq("idb"))
         .groupBy(col("ida").as("doc_id")).agg(min("nl").as("nbr_min"))
+      val nl = least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+      // the change flag rides inside the checkpointed round, so testing
+      // convergence is a scan of the materialized blocks — no extra join
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .select(col("doc_id"), nl.as("cluster_id"), (nl =!= col("cluster_id")).as("chg"))
         .localCheckpoint(true) // truncates lineage: plan depth stays O(1) across rounds
-      changed = next.join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev")).count()
+      changed = next.filter(col("chg")).count()
       labels = next
       rounds += 1
     }
-    labels
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id").as("cl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
   }
 
   private def cosineJoin(probes: DataFrame, cands: DataFrame): DataFrame =
