@@ -198,7 +198,12 @@ object Bench {
     val spinPre = spinProbeMs()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // focused timing: SPARK_GRAFT_BENCH_ONLY=q19,q33 runs just those
+    // queries (prefix match); SPARK_GRAFT_BENCH_EVENTS=0 skips the replay
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); results(name) = (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
@@ -218,34 +223,37 @@ object Bench {
     // planning) amortizes — small batches measure scheduler overhead,
     // not the engine (see BENCH/BASELINE.md).
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "24000000").toLong
-    // CDC-path warmup, untimed (mirrors ScalingBench): the fold/write/
-    // commit codegen+JIT otherwise lands on timed batch 0 — measured
-    // 4-6x the warm epoch across three rounds of driver runs.
-    val warmDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-warm").toString
-    replay(spark, 1000000L, numBatches = 2, buckets = 128, logDir = warmDir)
-    deleteRecursively(warmDir)
+    var replayWalls: Seq[Double] = Seq.empty
+    val (evps, steady, evpsSteady, spinReplayPre, spinReplayPost, memReplayPre, memReplayPost) =
+      if (nEvents <= 0) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      else {
+        // CDC-path warmup, untimed (mirrors ScalingBench): the fold/write/
+        // commit codegen+JIT otherwise lands on timed batch 0 — measured
+        // 4-6x the warm epoch across three rounds of driver runs.
+        val warmDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-warm").toString
+        replay(spark, 1000000L, numBatches = 2, buckets = 128, logDir = warmDir)
+        deleteRecursively(warmDir)
 
-    val logDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-log").toString
-    val spinReplayPre = spinProbeMs()
-    val memReplayPre = memProbeGBs()
-    val walls = replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir)
-    val spinReplayPost = spinProbeMs()
-    val memReplayPost = memProbeGBs()
-    deleteRecursively(logDir)
-    val replaySec = walls.sum
-    results("cdc_replay") = replaySec
-    val evps = nEvents / replaySec
-    // steady-state epoch: the best non-first epoch (batch 0 additionally
-    // carries the empty-table first-commit shape)
-    val perEpoch = nEvents / walls.size
-    val steady = walls.drop(1).min
-    val evpsSteady = perEpoch / steady
+        val logDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-log").toString
+        val sPre = spinProbeMs()
+        val mPre = memProbeGBs()
+        val walls = replay(spark, nEvents, numBatches = 2, buckets = 128, logDir = logDir)
+        val sPost = spinProbeMs()
+        val mPost = memProbeGBs()
+        deleteRecursively(logDir)
+        replayWalls = walls
+        results("cdc_replay") = walls.sum
+        // steady-state epoch: the best non-first epoch (batch 0 additionally
+        // carries the empty-table first-commit shape)
+        val st = walls.drop(1).min
+        (nEvents / walls.sum, st, (nEvents / walls.size) / st, sPre, sPost, mPre, mPost)
+      }
 
     val spinPost = spinProbeMs()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val epochsJson = walls.map(w => f"$w%.3f").mkString("[", ",", "]")
+    val epochsJson = replayWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cdc_events_per_sec":$evps%.0f,"cdc_replay_events":$nEvents,"cdc_replay_epochs":$epochsJson,"cdc_replay_steady":$steady%.3f,"cdc_events_per_sec_steady":$evpsSteady%.0f,"spin_ms_pre":$spinPre%.0f,"spin_ms_post_queries":$spinPostQueries%.0f,"spin_ms_replay_pre":$spinReplayPre%.0f,"spin_ms_replay_post":$spinReplayPost%.0f,"spin_ms_post":$spinPost%.0f,"spin_ms_idle_ref":150,"mem_gbs_replay_pre":$memReplayPre%.1f,"mem_gbs_replay_post":$memReplayPost%.1f,"mem_gbs_idle_ref":10.5}""")
     spark.stop()
   }

@@ -184,15 +184,28 @@ object ContentQueries {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("idb"), col("cluster_id").as("nl")), Seq("idb"))
         .groupBy(col("ida").as("doc_id")).agg(min("nl").as("nbr_min"))
-      val nl = least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+      val stepped = labels
+        .select(col("doc_id"), col("cluster_id").as("prev"))
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("m"))
+        .localCheckpoint(true) // referenced twice below — avoid recomputing the agg
+      // pointer doubling (path halving): label <- label[label] each round
+      // on top of the neighbor-min step, so a diameter-D chain converges
+      // in O(log D) rounds instead of D — plain min-propagation measured
+      // 8 rounds on the sf0.1 corpus's LSH-adjacency chains
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("m"), col("m").as("mm")), Seq("m"), "left")
+        .select(col("doc_id"),
+          coalesce(col("mm"), col("m")).as("cluster_id"),
+          (coalesce(col("mm"), col("m")) =!= col("prev")).as("chg"))
+        .localCheckpoint(true) // truncates lineage: plan depth stays O(1) across rounds
       // the change flag rides inside the checkpointed round, so testing
       // convergence is a scan of the materialized blocks — no extra join
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), nl.as("cluster_id"), (nl =!= col("cluster_id")).as("chg"))
-        .localCheckpoint(true) // truncates lineage: plan depth stays O(1) across rounds
       changed = next.filter(col("chg")).count()
       labels = next
       rounds += 1
+      System.err.println(s"[q33] round $rounds: $changed labels changed")
     }
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_id").as("cl")), Seq("doc_id"), "left")
