@@ -34,9 +34,13 @@ object ContentQueries {
     */
   private val shared =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private def memo(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+  private def memo(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    // evict entries of stopped sessions: a long-lived JVM cycling sessions
+    // (test suites, notebooks) must not pin dead session graphs forever
+    shared.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
     shared.getOrElseUpdate((s, dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   // word k-shingles as a Column (Spark SQL lambda form)
   private def wordShingles(k: Int): String = {
@@ -207,6 +211,10 @@ object ContentQueries {
       rounds += 1
       System.err.println(s"[q33] round $rounds: $changed labels changed")
     }
+    // edges is not part of the returned plan (only the final labels are);
+    // intermediate rounds' checkpointed RDDs are unreferenced after the
+    // loop and reclaimed by the ContextCleaner
+    edges.unpersist(blocking = false)
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_id").as("cl")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))

@@ -53,16 +53,29 @@ object CdcStream {
         val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
       })
 
-  /** Last-submitted background maintenance task per streamId. */
+  /** Last-submitted background maintenance task per stream, keyed by
+    * checkpointDir (unique per stream by construction — streamIds may
+    * legitimately repeat across streams since epoch markers are
+    * per-table).
+    */
   private val pendingMaintenance =
     scala.collection.concurrent.TrieMap.empty[String, scala.concurrent.Future[Unit]]
 
+  /** A cadence that fires while the previous task is still running sets
+    * this flag instead of piling up a queue: the running task re-runs
+    * itself ONCE on completion, coalescing any number of skipped
+    * cadences into one catch-up — metadata stays bounded even when one
+    * maintenance pass outlives several cadences.
+    */
+  private val maintenanceQueued =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicBoolean]
+
   /** Block until the stream's outstanding background maintenance task (if
     * any) finishes — for orderly teardown after a stream terminates (the
-    * task itself never throws; failures are logged).
+    * task itself never throws; failures are logged). Key = checkpointDir.
     */
-  def awaitMaintenance(streamId: String): Unit =
-    pendingMaintenance.get(streamId).foreach { f =>
+  def awaitMaintenance(checkpointDir: String): Unit =
+    pendingMaintenance.get(checkpointDir).foreach { f =>
       scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
     }
 
@@ -217,11 +230,20 @@ object CdcStream {
             // aggregate over only the columns some routed table is missing
             // — no job at all once every table matches the union envelope.
             val afterT = batch.schema("after").dataType.asInstanceOf[StructType]
+            // a table under a payload target-column rename carries the
+            // TARGET name; slices carry the EVENT-side name — map the
+            // table's fields back so the source column counts as known
+            val renameOn = cfg.spec.payloadTargetName.nonEmpty &&
+              cfg.spec.payloadTargetName != cfg.spec.extractSource
+            def eventSideNames(names: Set[String]): Set[String] =
+              if (renameOn && names.contains(cfg.spec.payloadTargetName))
+                names - cfg.spec.payloadTargetName + cfg.spec.extractSource
+              else names
             val knownByGroup: Map[String, Option[Set[String]]] = groups.map { case (f, _) =>
               val dir = r.tableDirFor(f) // folding is idempotent on a folded name
               val handle = routedTables.get(dir).orElse(
                 if (IceLite.exists(dir)) Some(routedTables.getOrElseUpdate(dir, IceLite.load(dir))) else None)
-              f -> handle.map(_.schema.fieldNames.toSet)
+              f -> handle.map(t => eventSideNames(t.schema.fieldNames.toSet))
             }.toMap
             val candByGroup: Map[String, Seq[String]] = knownByGroup.map { case (f, ks) =>
               f -> afterT.fieldNames.toSeq.filterNot(ks.getOrElse(Set.empty).contains)
@@ -253,11 +275,12 @@ object CdcStream {
                   val live = ts.flatMap(t => liveByTopic.getOrElse(t, Set.empty)).toSet
                   // columns the MergeSpec itself references must survive the
                   // projection even when all-null in this slice: extraction
-                  // reads after.<extractSource>, and projecting it out of a
-                  // first-sight slice would fail every retry of the epoch
-                  // with an AnalysisException
+                  // reads after.<extractSource>, the payload rename requires
+                  // it, and projecting it out of a first-sight slice would
+                  // fail every retry of the epoch
                   val specCols: Set[String] =
-                    if (cfg.spec.extractFields.nonEmpty || cfg.spec.payloadSchemas.nonEmpty)
+                    if (cfg.spec.extractFields.nonEmpty || cfg.spec.payloadSchemas.nonEmpty ||
+                      renameOn)
                       Set(cfg.spec.extractSource)
                     else Set.empty
                   val keep = afterT.fieldNames.toSeq.filter(n =>
@@ -267,8 +290,12 @@ object CdcStream {
                   val slice =
                     if (keep.isEmpty || keep.size == afterT.fields.length) slice0
                     else projectAfter(slice0, keep)
+                  // first-sight creation under a payload rename uses the
+                  // TARGET-side schema (applyBatch renames every event's
+                  // payload field before evolution)
                   val tbl = routedTables.getOrElseUpdate(dir, loadOrCreate(dir,
-                    slice.schema("after").dataType.asInstanceOf[StructType], cfg.spec))
+                    renamedSchema(slice.schema("after").dataType.asInstanceOf[StructType], cfg.spec),
+                    cfg.spec))
                   CdcApply.applyBatch(
                     spark, tbl, slice, cfg.spec,
                     epoch = Some((cfg.streamId, epochId)),
@@ -296,29 +323,37 @@ object CdcStream {
         // (reference anchor: the RDBMS amortizes index maintenance off
         // the connector's commit path, /root/reference/README.md:19-24).
         if (cfg.maintenanceEvery > 0 && (epochId + 1) % cfg.maintenanceEvery == 0) {
-          val prev = pendingMaintenance.get(cfg.streamId)
+          val key = cfg.checkpointDir
+          val queued = maintenanceQueued.getOrElseUpdate(
+            key, new java.util.concurrent.atomic.AtomicBoolean(false))
+          def runMaintenance(): Unit = {
+            try {
+              // own scheduler pool: under spark.scheduler.mode=FAIR the
+              // maintenance job SHARES task slots with the overlapping
+              // ingest epochs instead of head-of-line blocking them
+              // (FIFO would drain the compact job's stages first on a
+              // saturated cluster); a no-op under default FIFO
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-maintenance")
+              logTable.foreach(_.compact(spark, maxFilesPerBucket = 8,
+                onlySmallerThan = 64L << 20))
+              (routedTables.values ++ table ++ logTable).toSeq.distinct
+                .foreach(_.expireSnapshots(cfg.keepSnapshots))
+            } catch {
+              case NonFatal(e) =>
+                System.err.println(s"[graft] WARN maintenance for stream '${cfg.streamId}' " +
+                  s"failed (ingest unaffected; retried next cadence): $e")
+            } finally {
+              // a cadence fired while we ran: catch up once (coalesced)
+              if (queued.getAndSet(false)) runMaintenance()
+            }
+          }
+          val prev = pendingMaintenance.get(key)
           if (prev.forall(_.isCompleted)) {
-            val tables = (touchedTables ++ routedTables.values ++ logTable).toSeq.distinct
-            pendingMaintenance(cfg.streamId) = Future {
-              try {
-                // own scheduler pool: under spark.scheduler.mode=FAIR the
-                // maintenance job SHARES task slots with the overlapping
-                // ingest epochs instead of head-of-line blocking them
-                // (FIFO would drain the compact job's stages first on a
-                // saturated cluster); a no-op under default FIFO
-                spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-maintenance")
-                logTable.foreach(_.compact(spark, maxFilesPerBucket = 8,
-                  onlySmallerThan = 64L << 20))
-                tables.foreach(_.expireSnapshots(cfg.keepSnapshots))
-              } catch {
-                case NonFatal(e) =>
-                  System.err.println(s"[graft] WARN maintenance for stream '${cfg.streamId}' " +
-                    s"failed (ingest unaffected; retried next cadence): $e")
-              }
-            }(maintenanceEc)
+            pendingMaintenance(key) = Future(runMaintenance())(maintenanceEc)
           } else {
+            queued.set(true)
             System.err.println(s"[graft] maintenance for stream '${cfg.streamId}' still " +
-              s"running at epoch $epochId — skipping this cadence")
+              s"running at epoch $epochId — queued a catch-up run")
           }
         }
         ()
@@ -405,7 +440,7 @@ object CdcStream {
   def runAvailable(spark: SparkSession, cfg: StreamConfig): IceLiteTable = {
     val q = start(spark, cfg.copy(availableNow = true))
     q.awaitTermination()
-    awaitMaintenance(cfg.streamId)
+    awaitMaintenance(cfg.checkpointDir)
     IceLite.load(cfg.tableDir)
   }
 }

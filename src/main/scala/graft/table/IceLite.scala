@@ -283,13 +283,18 @@ final class IceLiteTable(val dir: String) {
           s"cannot expire $dir: oldest foldable v-file v$h is a diff and no checkpoint " +
             s"at or above v${h - 1} exists — corrupt table metadata")
       }
-    val isDrop = drop.toSet
+    // kept versions BELOW the fold seed are unreadable anyway (their
+    // ancestor diffs are gone — a previous crash already orphaned them):
+    // expire them too rather than keeping v-files that cannot be opened
+    val keepLive = keep.filter(_ >= s.version)
+    val dropAll = versions.filterNot(keepLive.toSet)
+    val isDrop = dropAll.toSet
     val deadRefs = scala.collection.mutable.Set.empty[String]
     val liveRefs = scala.collection.mutable.Set.empty[String]
     var boundary: Snapshot = null
     def record(x: Snapshot): Unit = {
       (if (isDrop(x.version)) deadRefs else liveRefs) ++= refs(x)
-      if (keep.headOption.contains(x.version)) boundary = x
+      if (keepLive.headOption.contains(x.version)) boundary = x
     }
     record(s)
     suffix.filter(_ > s.version).foreach { v =>
@@ -306,8 +311,8 @@ final class IceLiteTable(val dir: String) {
       writeAtomically(cFile(boundary.version), toJson(boundary))
     val dead = deadRefs.toSet -- liveRefs
     dead.foreach(rel => Files.deleteIfExists(Paths.get(dir).resolve(rel)))
-    drop.foreach(v => Files.deleteIfExists(vFile(v)))
-    keep.headOption.foreach { b => listCheckpointVersions.filter(_ < b).foreach(v => Files.deleteIfExists(cFile(v))) }
+    dropAll.foreach(v => Files.deleteIfExists(vFile(v)))
+    keepLive.headOption.foreach { b => listCheckpointVersions.filter(_ < b).foreach(v => Files.deleteIfExists(cFile(v))) }
     // the memoized fold may reference an expired ancestor chain only via
     // values (immutable) — safe to keep; readers of kept versions fold
     // from the new boundary checkpoint.
@@ -322,7 +327,7 @@ final class IceLiteTable(val dir: String) {
           finally w.close()
         }
       }
-    (drop.size, dead.size)
+    (dropAll.size, dead.size)
   }
 
   /** Compact buckets that have accumulated more than `maxFilesPerBucket`

@@ -123,6 +123,33 @@ class IceLiteSpec extends SparkSuite {
     assert(IceLite.load(dir).current.properties("post") == "ok")
   }
 
+  test("expiry after crash: kept versions below the fold seed are expired, not kept unreadable") {
+    val dir = tmpDir("icelite-expiryseed") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    (1 to 20).foreach { i =>
+      t.commit(p => p.copy(
+        deltas = p.deltas.updated(i % 4, p.deltas.getOrElse(i % 4, Seq.empty) :+ s"data/x/g$i.parquet"),
+        lastDeltaSeq = p.version + 1))
+    }
+    // crashed-previous-expiry state: boundary checkpoint c17 written,
+    // v2..v9 deleted, stale c1 still present
+    val boundaryV = t.currentVersion - 4 // 17
+    Files.writeString(Paths.get(dir, "snap", f"c$boundaryV%010d.json"),
+      IceLite.toJson(t.snapshot(boundaryV)))
+    (2L to 9L).foreach(v => Files.delete(Paths.get(dir, "snap", f"v$v%010d.json")))
+    // keepLast big enough to reach below the usable seed (c17): versions
+    // 10..16 cannot be folded — they must be DROPPED, not kept broken
+    val t2 = IceLite.load(dir)
+    t2.expireSnapshots(keepLast = 8)
+    (10L to 16L).foreach { v =>
+      assert(!Files.exists(Paths.get(dir, "snap", f"v$v%010d.json")),
+        s"unreadable v$v survived expiry")
+    }
+    val t3 = IceLite.load(dir)
+    assert(t3.current == t.current)
+    assert(t3.snapshot(18L).version == 18L) // kept-and-readable region intact
+  }
+
   test("expireSnapshots clamps keepLast to >= 1 (0 would leave an unloadable table)") {
     val dir = tmpDir("icelite-keep0") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)

@@ -209,6 +209,31 @@ class StreamingSpec extends SparkSuite {
     assert(tb.read(spark).select("conv_id").collect().map(_.getString(0)).toSeq == Seq("cB"))
   }
 
+  test("routing composes with payloadTargetName: routed tables carry the target column only") {
+    val root = tmpDir("stream-route-rename")
+    // beta's only first-sight event has a null payload — the rename +
+    // keep-set must still produce a target-named column, not wedge the
+    // epoch or leave a stray event-side column
+    val evs = Seq(ins(0L, "cA", 0, "hello"), ins(1L, "cB", 0, null))
+    eventsDF(spark, evs)
+      .withColumn("schema_v", lit(2)).drop("schemaV")
+      .withColumn("topic", when(col("conv_id") === "cA", lit("alpha")).otherwise(lit("beta")))
+      .write.parquet(s"$root/log/chunk=0")
+    val sc = CdcStream.StreamConfig(
+      s"$root/log", tableDir = s"$root/unused", checkpointDir = s"$root/ckpt",
+      spec = graft.model.MergeSpec(payloadTargetName = "event"),
+      routing = Some(CdcStream.Routing(s"$root/tables/" + "${topic}")))
+    CdcStream.start(spark, sc).awaitTermination()
+    for (topic <- Seq("alpha", "beta")) {
+      val t = IceLite.load(s"$root/tables/$topic")
+      assert(t.schema.fieldNames.contains("event"), s"$topic missing target column")
+      assert(!t.schema.fieldNames.contains("text"),
+        s"$topic kept the event-side name alongside the target — table shape diverged")
+    }
+    val a = IceLite.load(s"$root/tables/alpha").read(spark).select("event").collect()
+    assert(a.map(_.getString(0)).toSeq == Seq("hello"))
+  }
+
   test("automatic maintenance: snapshot chain stays bounded across a long streamed replay") {
     val root = tmpDir("stream-maint")
     val cfg = ChangeLogGen.GenConfig(numEvents = 1200, numConvs = 15, maxTurns = 5, logPartitions = 2)
