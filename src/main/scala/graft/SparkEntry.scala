@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.gen.ChangeLogGen
 import graft.operators.CdcApply
-import graft.queries.{ContentQueries, RelationalCdcQueries}
+import graft.queries.{ContentQueries, EventAnalytics, RelationalCdcQueries}
 import graft.table.IceLite
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -31,11 +31,11 @@ object SparkEntry {
     * training-data-pipeline operators).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalCdcQueries.queries ++ ContentQueries.queries
+    RelationalCdcQueries.queries ++ ContentQueries.queries ++ EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.
     */
   def oracleSql: Map[String, String] =
-    RelationalCdcQueries.oracleSql ++ ContentQueries.oracleSql
+    RelationalCdcQueries.oracleSql ++ ContentQueries.oracleSql ++ EventAnalytics.oracleSql
 }

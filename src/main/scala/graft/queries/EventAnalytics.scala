@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-store analytics over the `events` stream table — the query
+  * surface a consumer of the reference's event store runs on the data the
+  * connector lands (reference anchor: the store exists to be queried,
+  * /root/reference/README.md:7-24; the connector itself ships no query
+  * engine, so these are the canonical downstream shapes: sessionization,
+  * point-in-time enrichment, funnels, cohort retention, event-time
+  * windows).
+  *
+  * Scale notes (100 TB):
+  *  - every operator here shuffles ONCE on `user_id` (or the group key)
+  *    and computes per-key state in a single window/aggregation pass —
+  *    no self-range-joins, no per-row subqueries;
+  *  - the as-of join is the melt formulation: both sides live in one
+  *    partition-ordered pass (`last(..., ignoreNulls)` over a strictly-
+  *    prior row frame), so cost is O(events) per key, not
+  *    O(left x right);
+  *  - per-user event counts bound window memory; a key whose history
+  *    can't fit an executor would be salted by time range first (the
+  *    sessionize gap-split itself is the natural salt boundary).
+  */
+object EventAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec = "decimal(18,4)"
+
+  /** Exact epoch micros for either TIMESTAMP or TIMESTAMP_NTZ input (the
+    * driver parquet carries NTZ; sessions run UTC so the cast is a
+    * deterministic identity on the stored value).
+    */
+  private def epochUs(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+
+  /** 6h inactivity gap ends a session (micros). */
+  private val SessionGapUs = 21600000000L
+
+  /** Ordered per-user pass: ties impossible on ts alone in the test data,
+    * but event_id tie-break keeps the plan deterministic anyway.
+    */
+  private def byUserTime = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts").asc, col("event_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- gap-based sessionization: lag -> boundary flag -> running sum ----
+    "q34_sessionize" -> ((s, dir) => {
+      val w = byUserTime
+      val gapUs = epochUs(col("ts")) - epochUs(lag(col("ts"), 1).over(w))
+      t(s, dir, "events")
+        .withColumn("is_new", when(gapUs.isNull || gapUs > SessionGapUs, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"),
+          max(col("ts")).as("t_end"))
+        .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+          col("n_events"), col("t_start"), col("t_end"),
+          (epochUs(col("t_end")) - epochUs(col("t_start"))).as("dur_us"))
+    }),
+
+    // -- as-of (point-in-time) join: each purchase picks up the latest
+    //    STRICTLY PRIOR browse event of the same user. Single ordered
+    //    pass per key (melt formulation) — the scalable shape of an
+    //    as-of join; the oracle cross-checks it against DuckDB's native
+    //    ASOF JOIN semantics (window form below is what DuckDB runs).
+    "q35_asof_join" -> ((s, dir) => {
+      val prior = byUserTime.rowsBetween(Window.unboundedPreceding, -1)
+      val isBrowse = col("event_type").isin("click", "view")
+      val browse = when(isBrowse,
+        struct(col("ts").as("b_ts"), col("event_id").as("b_id"), col("value").as("b_value")))
+      t(s, dir, "events")
+        .withColumn("lastb", last(browse, ignoreNulls = true).over(prior))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"),
+          col("value").as("amount"),
+          col("lastb.b_id").as("browse_event_id"),
+          col("lastb.b_value").as("browsed_value"),
+          (epochUs(col("ts")) - epochUs(col("lastb.b_ts"))).as("browse_to_buy_us"))
+    }),
+
+    // -- ordered funnel: signup -> first click within 7d -> first purchase
+    //    after that click, still within 7d of signup. Three aggregations
+    //    co-partitioned on user_id (Spark reuses the hash exchange).
+    "q36_funnel_steps" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val week = expr("INTERVAL 7 DAYS")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+      val c1 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") >= col("st") && col("ts") <= col("st") + week)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ct"), min(col("st")).as("st"))
+      val p1 = e.filter(col("event_type") === "purchase")
+        .join(c1, "user_id")
+        .filter(col("ts") >= col("ct") && col("ts") <= col("st") + week)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+      def step(df: DataFrame, n: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("step"), lit(name).as("step_name"), col("n_users"))
+      step(s1, 1, "signup").unionAll(step(c1, 2, "click_7d")).unionAll(step(p1, 3, "purchase_7d"))
+    }),
+
+    // -- cohort retention: first-seen day x active-day offset ------------
+    "q37_retention_cohort" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      val active = e.select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+      // day_n is an exact multiple of 86400e6 micros (both sides
+      // day-truncated) — double division is exact here
+      active.join(firstSeen, "user_id")
+        .groupBy(col("cohort_day"),
+          ((epochUs(col("d")) - epochUs(col("cohort_day"))) / 86400000000L)
+            .cast("int").as("day_n"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
+    // -- event-time tumbling window (the Structured Streaming window
+    //    primitive, exercised in batch): 1-day windows x event_type ------
+    "q38_window_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("total_value"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |  min(ts) AS t_start, max(ts) AS t_end,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q35_asof_join" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS)
+        |      OVER ww AS b_id,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN value END IGNORE NULLS)
+        |      OVER ww AS b_value,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+        |      OVER ww AS b_ts
+        |  FROM events
+        |  WINDOW ww AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS amount,
+        |  b_id AS browse_event_id, b_value AS browsed_value,
+        |  epoch_us(ts) - epoch_us(b_ts) AS browse_to_buy_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "q36_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS st FROM events WHERE event_type='signup' GROUP BY 1),
+        |c1 AS (SELECT e.user_id, min(e.ts) AS ct, min(s1.st) AS st
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type='click' AND e.ts >= s1.st AND e.ts <= s1.st + INTERVAL 7 DAY
+        |       GROUP BY 1),
+        |p1 AS (SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c1 ON e.user_id = c1.user_id
+        |       WHERE e.event_type='purchase' AND e.ts >= c1.ct AND e.ts <= c1.st + INTERVAL 7 DAY
+        |       GROUP BY 1)
+        |SELECT CAST(step AS INT) AS step, step_name, n_users FROM (
+        |  SELECT 1 AS step, 'signup' AS step_name, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click_7d', count(*) FROM c1
+        |  UNION ALL SELECT 3, 'purchase_7d', count(*) FROM p1)""".stripMargin,
+    "q37_retention_cohort" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        |SELECT f.cohort_day,
+        |  CAST((epoch_us(a.d) - epoch_us(f.cohort_day)) // 86400000000 AS INT) AS day_n,
+        |  count(*) AS n_active
+        |FROM act a JOIN first_seen f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q38_window_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}
