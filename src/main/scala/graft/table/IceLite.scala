@@ -188,6 +188,14 @@ final class IceLiteTable(val dir: String) {
   def readAt(spark: SparkSession, version: Long, buckets: Option[Set[Int]] = None): DataFrame =
     readSnapshotState(spark, snapshot(version), buckets)
 
+  /** Incremental change feed: the net change rows committed in
+    * `(fromVersion, toVersion]` — see [[ChangeFeed.read]]. O(changes in
+    * range), never O(table); valid while the range's snapshots survive
+    * expiry, like [[readAt]].
+    */
+  def readChanges(spark: SparkSession, fromVersion: Long, toVersion: Long = -1L): DataFrame =
+    ChangeFeed.read(spark, this, fromVersion, toVersion)
+
   private def readSnapshotState(
       spark: SparkSession, s: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
     val sch = schemaOf(s)
