@@ -146,13 +146,17 @@ object ContentQueries {
       .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 3)
   }
 
-  /** Connected components over the duplicate-pair graph (q33) by
-    * iterative min-label propagation: every vertex starts labeled with
-    * its own doc_id; each round, a vertex takes the min of its own and
-    * its neighbors' labels; at fixpoint each component carries its min
-    * doc_id. The driver loop is control flow only (one `count` action
-    * per round to test convergence — no data is ever collected); each
-    * round is one shuffle join + one aggregation, all distributed.
+  /** Connected components over the duplicate-pair graph (q33): each
+    * component labeled with its min doc_id. Two execution paths behind a
+    * count gate on the edge list — a driver-side union-find when the dup
+    * graph is small ([[ccUnionFindDriver]]), and iterative distributed
+    * min-label propagation ([[ccMinLabelDistributed]]): every vertex
+    * starts labeled with its own doc_id; each round, a vertex takes the
+    * min of its own and its neighbors' labels; at fixpoint each
+    * component carries its min doc_id. That loop's driver side is
+    * control flow only (one `count` action per round to test
+    * convergence — no data is ever collected); each round is one
+    * shuffle join + one aggregation, all distributed.
     *
     * Scale: rounds needed = component DIAMETER, and duplicate components
     * are tiny by construction (near-dup clusters; candidate volume ∝
@@ -167,9 +171,56 @@ object ContentQueries {
     * variant (O(log n) rounds on adversarial graphs) is a drop-in upgrade
     * if a corpus ever shows deep chains.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String, maxDriverEdges: Long = 4000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = jaccardPairs(s, dir).select(col("ida"), col("idb"))
+    // Count gate (same pattern as the wipe-broadcast gate in CdcApply):
+    // the dup graph is duplicate-density sized, not corpus sized, so it
+    // usually fits the driver comfortably — union-find with path
+    // compression is then O(E α(E)) in one pass, vs ~log(diameter)
+    // whole-cluster rounds of 3 jobs each for the distributed loop
+    // (measured 6-10s of pure job-scheduling overhead at small SF).
+    // Above the gate (≈256 MB of id pairs), fall through to the
+    // distributed loop, which never collects anything.
+    val labels =
+      if (pairs.count() <= maxDriverEdges) ccUnionFindDriver(s, pairs)
+      else ccMinLabelDistributed(s, pairs)
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id").as("cl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Driver-side connected components: classic union-find (path
+    * compression + union by attaching the lexicographically larger root)
+    * over the collected edge list, then each component labeled with its
+    * min doc_id. Only reachable under the [[dedupClusters]] count gate.
+    */
+  private def ccUnionFindDriver(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) {
+        // attach the larger root under the smaller: roots ARE min labels
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      } else parent.getOrElseUpdate(ra, ra)
+    }
+    import s.implicits._
+    parent.keysIterator.map(v => (v, find(v))).toSeq.toDF("doc_id", "cluster_id")
+  }
+
+  /** Distributed connected components over the duplicate-pair graph:
+    * min-label propagation with pointer doubling, O(log diameter)
+    * rounds, nothing ever collected — the 100 TB path.
+    */
+  private def ccMinLabelDistributed(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -215,9 +266,7 @@ object ContentQueries {
     // intermediate rounds' checkpointed RDDs are unreferenced after the
     // loop and reclaimed by the ContextCleaner
     edges.unpersist(blocking = false)
-    t(s, dir, "documents").select(col("doc_id"))
-      .join(labels.select(col("doc_id"), col("cluster_id").as("cl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+    labels.select(col("doc_id"), col("cluster_id"))
   }
 
   private def cosineJoin(probes: DataFrame, cands: DataFrame): DataFrame =

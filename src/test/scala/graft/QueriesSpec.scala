@@ -62,6 +62,14 @@ class QueriesSpec extends SparkSuite {
       Seq("cluster_id"), "left_anti").count() == 0)
   }
 
+  test("q33: distributed min-label path (gate forced to 0) agrees with the driver union-find path") {
+    val driver = queries.ContentQueries.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val distributed = queries.ContentQueries.dedupClusters(spark, dir, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(driver == distributed && driver.nonEmpty)
+  }
+
   test("q26 knn: exactly 3 neighbors per probe, no self-match") {
     val df = SparkEntry.queries("q26_embed_knn")(spark, dir)
     val perProbe = df.groupBy("pid").count().collect()
