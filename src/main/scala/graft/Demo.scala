@@ -54,6 +54,15 @@ object Demo {
       epoch = Some(("demo", (numBatches - 1).toLong)))
     println(s"[demo] re-delivered epoch ${numBatches - 1}: skipped=${redo.skipped}")
 
+    // change-feed egress: bootstrap a downstream mirror at the penultimate
+    // version, then catch up incrementally over the last commit's feed
+    val mirrorT = IceLite.create(s"$dir/mirror", schema, table.numBuckets)
+    val boot = graft.operators.Mirror.sync(spark, table, mirrorT, toVersion = table.currentVersion - 1)
+    val incr = graft.operators.Mirror.sync(spark, table, mirrorT)
+    println(s"[demo] mirror: bootstrap@v${boot.toVersion} rows=${boot.result.rowsWritten}; " +
+      s"incremental (${incr.fromVersion.getOrElse(-1L)}, ${incr.toVersion}] " +
+      s"rows=${incr.result.rowsWritten}; state matches source: ${mirrorT.read(spark).count() == n}")
+
     // point query with bucket pruning
     val conv = state.select("conv_id").orderBy("conv_id").limit(1).collect()(0).getString(0)
     val bucket = spark.range(1)
