@@ -227,6 +227,15 @@ object Bench {
     val (evps, steady, evpsSteady, spinReplayPre, spinReplayPost, memReplayPre, memReplayPost) =
       if (nEvents <= 0) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
       else {
+        // Release query-phase state so the replay measures the engine,
+        // not the query phase's leftovers: memoized dedup-pipeline blocks,
+        // cached relations, and — via GC → ContextCleaner — the 38
+        // queries' shuffle files and broadcasts, which sit on the tmpfs
+        // local dir (i.e. in RAM on this sandbox) until reclaimed.
+        graft.queries.ContentQueries.clearShared(spark)
+        spark.catalog.clearCache()
+        (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
+
         // CDC-path warmup, untimed (mirrors ScalingBench): the fold/write/
         // commit codegen+JIT otherwise lands on timed batch 0 — measured
         // 4-6x the warm epoch across three rounds of driver runs.

@@ -42,6 +42,16 @@ object ContentQueries {
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Unpersist and drop this session's memoized pipeline results. Bench
+    * calls this between its query phase and its replay phase so
+    * query-phase cache blocks don't occupy executor memory while the
+    * replay is being measured.
+    */
+  def clearShared(s: SparkSession): Unit =
+    shared.filterInPlace { case ((sess, _, _), df) =>
+      if (sess eq s) { df.unpersist(blocking = true); false } else true
+    }
+
   // word k-shingles as a Column (Spark SQL lambda form)
   private def wordShingles(k: Int): String = {
     val parts = (0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ' ', ")

@@ -98,6 +98,28 @@ class ChangeFeedSpec extends SparkSuite {
       assert(t.readChanges(spark, 1).count() == 3)
   }
 
+  test("feed across schema drift: pre-drift deltas widen with nulls under the range-end schema") {
+    val dir = tmpDir("cf-drift") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0, "c1", 0, "old"))),
+      spec = mor, epoch = Some(("d", 0L)))
+    val drifted = eventsDF(spark, Seq(ins(1, "c2", 0, "new")))
+      .withColumn("after", when(col("after").isNotNull,
+        struct(col("after.*"), when(col("conv_id").isNotNull, lit("pos")).as("sentiment"))))
+    CdcApply.applyBatch(spark, t, drifted, spec = mor, epoch = Some(("d", 1L)))
+    val rows = t.readChanges(spark, 1).select("conv_id", "row.text", "row.sentiment").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSeq.sorted
+    assert(rows == Seq(("c1", "old", None), ("c2", "new", Some("pos"))))
+    // mirroring the drifting range evolves the target's schema too
+    val dst = graft.table.IceLite.create(tmpDir("cf-drift-dst") + "/t", turnSchema, 4)
+    operators.Mirror.sync(spark, t, dst, mor, toVersion = 2L) // bootstrap pre-drift
+    operators.Mirror.sync(spark, t, dst, mor)                 // incremental across the drift
+    assert(dst.schema.fieldNames.contains("sentiment"))
+    val st = dst.read(spark).select("conv_id", "text", "sentiment").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSeq.sorted
+    assert(st == Seq(("c1", "old", None), ("c2", "new", Some("pos"))))
+  }
+
   test("copy-on-write commits are not feed-readable and fail loudly") {
     val dir = tmpDir("cf-cow") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)
