@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.MergeSpec
+import graft.table.{ChangeFeed, IceLiteTable}
+
+/** Incremental materialized aggregate views over the change feed: keep
+  * `source.groupBy(dims).agg(count, sums)` materialized in a small
+  * IceLite view table, maintained in **O(changes since cursor)** per
+  * refresh instead of an O(corpus) recompute — the capability that makes
+  * corpus-level statistics (per-language token counts, per-day volumes)
+  * affordable per-epoch at 100 TB. Count and sum are the classic
+  * self-maintainable aggregates under insert/update/delete; avg and
+  * friends derive from them at read time.
+  *
+  * Maintenance math: for the snapshot range `(from, to]`, the group
+  * delta is computed from the BEFORE and AFTER states of only the
+  * touched conversations (bucket-pruned `readAt` + semi join):
+  * `delta = agg(after) - agg(before)`. Conversation granularity keeps
+  * the logic action-free — a key that did not change contributes the
+  * same row to both sides and cancels exactly, while inserts, updates,
+  * deletes, and series wipes all reduce to "rows present on one side,
+  * absent or different on the other". No per-action case analysis, no
+  * before-images stored in the feed.
+  *
+  * The view itself is an IceLite table keyed by the dim tuple
+  * (`conv_id` = separator-joined dim values, `turn_idx` = 0), so the
+  * refresh commit inherits the engine's exactly-once epoch machinery
+  * (cursor = committed `epoch:ivm:<sourceDir>` property, re-delivery
+  * skipped, crash-idempotent) and the view is itself feed-readable —
+  * downstream consumers can tail the VIEW's changes.
+  *
+  * Refresh cost: feed scan O(changes) + two bucket-pruned state scans
+  * of touched buckets + a group-delta aggregation O(touched rows) + a
+  * view upsert O(changed groups). A refresh with no new commits is a
+  * skip; a refresh of a view whose table has no cursor bootstraps from
+  * a full aggregate at `to` (the only O(corpus) step, paid once).
+  */
+object IncrementalView {
+
+  /** Aggregate spec: group dims and summed measures, each an
+    * expression over the source row. Count is always maintained (also
+    * the group-liveness test: groups whose count reaches 0 are deleted
+    * from the view).
+    */
+  final case class ViewSpec(
+      dims: Seq[(String, Column)],
+      sums: Seq[(String, Column)] = Seq.empty) {
+    require(dims.nonEmpty, "a view needs at least one group dimension")
+    private[operators] def measureNames: Seq[String] = "cnt" +: sums.map(_._1)
+  }
+
+  final case class RefreshResult(
+      result: CdcApply.BatchResult,
+      fromVersion: Option[Long],
+      toVersion: Long)
+
+  private def streamId(source: IceLiteTable): String = s"ivm:${source.dir}"
+
+  def cursor(source: IceLiteTable, view: IceLiteTable): Option[Long] =
+    view.current.properties.get(s"epoch:${streamId(source)}").map(_.toLong)
+
+  /** The view's table schema for `spec` (pass to `IceLite.create`):
+    * key columns + the dims under their natural types + `cnt` + sums.
+    */
+  def viewSchema(spark: SparkSession, source: IceLiteTable, spec: ViewSpec): StructType =
+    aggregate(emptyOf(spark, source), spec)
+      .withColumn("conv_id", viewKey(spec)).withColumn("turn_idx", lit(0))
+      .select(("conv_id" +: "turn_idx" +: (spec.dims.map(_._1) ++ spec.measureNames)).map(col): _*)
+      .schema
+
+  /** Full aggregate of `rows` under `spec` (bootstrap / oracle shape). */
+  private def aggregate(rows: DataFrame, spec: ViewSpec): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +:
+      spec.sums.map { case (n, c) => sum(c).as(n) }
+    rows.groupBy(spec.dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Group delta of the range `(from, to]`: one row per group whose
+    * aggregate changed, carrying the SIGNED change of each measure.
+    */
+  def groupDelta(
+      spark: SparkSession,
+      source: IceLiteTable,
+      spec: ViewSpec,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val feed = ChangeFeed.read(spark, source, fromVersion, toVersion)
+    val convs = feed.select("conv_id").distinct()
+    // touched buckets: driver-side, bounded by numBuckets
+    val bk = feed.select(graft.table.IceLite.bucketOf(col("conv_id"), source.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (bk.isEmpty) return aggregate(emptyOf(spark, source), spec).limit(0)
+    def touched(v: Long) =
+      source.readAt(spark, v, Some(bk)).join(convs, Seq("conv_id"), "left_semi")
+    val pos = aggregate(touched(toVersion), spec).select(col("*"), lit(1L).as("sign"))
+    val neg = aggregate(touched(fromVersion), spec).select(col("*"), lit(-1L).as("sign"))
+    val deltas = spec.measureNames.map(n => sum(col(n) * col("sign")).as(n))
+    pos.unionByName(neg)
+      .groupBy(spec.dims.map(d => col(d._1)): _*)
+      .agg(deltas.head, deltas.tail: _*)
+      .filter(spec.measureNames.map(n => col(n) =!= 0L).reduce(_ || _))
+  }
+
+  def refresh(
+      spark: SparkSession,
+      source: IceLiteTable,
+      view: IceLiteTable,
+      spec: ViewSpec,
+      mergeSpec: MergeSpec = MergeSpec(),
+      toVersion: Long = -1L): RefreshResult = {
+    require(mergeSpec.mergeStrategy == "mor",
+      "view tables must be merge-on-read (feed-readable, O(changes) commits)")
+    val to = if (toVersion < 0) source.currentVersion else toVersion
+    val from = cursor(source, view)
+    if (from.exists(_ >= to))
+      return RefreshResult(CdcApply.BatchResult(view.current, skipped = true, 0L, 0L, 0L), from, to)
+
+    val groups = from match {
+      case None =>
+        // bootstrap: the one O(corpus) aggregate
+        aggregate(source.readAt(spark, to), spec)
+      case Some(f) =>
+        val delta = groupDelta(spark, source, spec, f, to)
+        // current view rows for exactly the changed groups (bucket-pruned
+        // point reads on the dim-tuple key), then fold the delta in
+        val keyed = delta.withColumn("conv_id", viewKey(spec))
+        val vb = keyed.select(graft.table.IceLite.bucketOf(col("conv_id"), view.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val cur =
+          if (vb.isEmpty) emptyOf(spark, view)
+          else view.read(spark, Some(vb))
+        val curM = spec.measureNames.foldLeft(
+          cur.select(col("conv_id") +: spec.measureNames.map(col): _*)) {
+            (d, n) => d.withColumnRenamed(n, s"_cur_$n") }
+        keyed.join(curM, Seq("conv_id"), "left")
+          .select(
+            spec.dims.map(d => col(d._1)) ++
+              spec.measureNames.map(n =>
+                (coalesce(col(s"_cur_$n"), lit(0L)) + col(n)).as(n)): _*)
+    }
+    // dead groups (cnt back to 0) leave the view as deletes
+    val events = groups
+      .withColumn("conv_id", viewKey(spec)).withColumn("turn_idx", lit(0))
+      .select(
+        lit(0).as("partition"),
+        lit(to).as("offset"),
+        lit(0L).cast("timestamp").as("ts"),
+        when(col("cnt") === 0L, "delete").otherwise("upsert").as("op"),
+        col("conv_id"), col("turn_idx"),
+        when(col("cnt") =!= 0L,
+          struct(col("conv_id") +: col("turn_idx") +:
+            (spec.dims.map(d => col(d._1)) ++ spec.measureNames.map(col)): _*)).as("after"),
+        lit(2).as("schemaV"))
+    val res = CdcApply.applyBatch(spark, view, events, mergeSpec, epoch = Some((streamId(source), to)))
+    RefreshResult(res, from, to)
+  }
+
+  /** Read the maintained view without key plumbing: dims + measures. */
+  def read(spark: SparkSession, view: IceLiteTable, spec: ViewSpec): DataFrame =
+    view.read(spark).select(spec.dims.map(d => col(d._1)) ++ spec.measureNames.map(col): _*)
+
+  private def viewKey(spec: ViewSpec): Column =
+    concat_ws("", spec.dims.map(d => coalesce(col(d._1).cast("string"), lit(""))): _*)
+
+  private def emptyOf(spark: SparkSession, source: IceLiteTable): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), source.schema)
+}

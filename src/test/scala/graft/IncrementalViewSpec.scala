@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.MergeSpec
+import graft.operators.{CdcApply, IncrementalView}
+import graft.operators.IncrementalView.ViewSpec
+import graft.table.IceLite
+
+/** Incremental materialized aggregate views (`IncrementalView.refresh`):
+  * the maintained view must equal a full recompute of the aggregate
+  * after every refresh, across inserts/updates/deletes/wipes, group
+  * birth and death, multi-commit catch-up, and re-delivered refreshes.
+  */
+class IncrementalViewSpec extends SparkSuite {
+  import TestHelpers._
+
+  private val mor = MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1000)
+  private val vspec = ViewSpec(
+    dims = Seq("role" -> col("role")),
+    sums = Seq("turns" -> col("turn_idx").cast("long"), "chars" -> length(col("text")).cast("long")))
+
+  private def recompute(src: graft.table.IceLiteTable): Seq[Row3] =
+    rows(src.read(spark).groupBy("role").agg(
+      count(lit(1)).as("cnt"), sum(col("turn_idx").cast("long")).as("turns"),
+      sum(length(col("text")).cast("long")).as("chars")))
+
+  private type Row3 = (String, Long, Long, Long)
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row3] =
+    df.select("role", "cnt", "turns", "chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+
+  test("view tracks a randomly mutated source exactly, refresh by refresh") {
+    val src = IceLite.create(tmpDir("ivm-src") + "/t", turnSchema, 4)
+    val view = IceLite.create(tmpDir("ivm-view") + "/t",
+      IncrementalView.viewSchema(spark, src, vspec), 4)
+    val rnd = new scala.util.Random(47)
+    var off = 0L
+    def batch(n: Int): Seq[graft.model.ChangeEvent] = (0 until n).map { _ =>
+      off += 1
+      val conv = f"c${rnd.nextInt(8)}%02d"
+      rnd.nextInt(10) match {
+        case r if r < 6 => ins(off, conv, rnd.nextInt(4), s"text-$off")
+        case r if r < 8 => upd(off, conv, rnd.nextInt(4), s"u-$off")
+        case 8          => del(off, conv, Some(rnd.nextInt(4)))
+        case _          => del(off, conv, None)
+      }
+    }
+    // bootstrap after two source commits, then incremental per commit
+    (0 until 2).foreach { i =>
+      CdcApply.applyBatch(spark, src, eventsDF(spark, batch(40)), spec = mor, epoch = Some(("s", i.toLong)))
+    }
+    val boot = IncrementalView.refresh(spark, src, view, vspec, mor)
+    assert(boot.fromVersion.isEmpty && !boot.result.skipped)
+    assert(rows(IncrementalView.read(spark, view, vspec)) == recompute(src))
+    (2 until 6).foreach { i =>
+      CdcApply.applyBatch(spark, src, eventsDF(spark, batch(40)), spec = mor, epoch = Some(("s", i.toLong)))
+      val r = IncrementalView.refresh(spark, src, view, vspec, mor)
+      assert(!r.result.skipped)
+      assert(rows(IncrementalView.read(spark, view, vspec)) == recompute(src),
+        s"view diverged from recompute after refresh $i")
+    }
+    // no new commits: refresh is a skip; cursor pinned to source version
+    val noop = IncrementalView.refresh(spark, src, view, vspec, mor)
+    assert(noop.result.skipped && IncrementalView.cursor(src, view).contains(src.currentVersion))
+  }
+
+  test("group death: a role wiped from the corpus leaves the view") {
+    val src = IceLite.create(tmpDir("ivm-death-src") + "/t", turnSchema, 4)
+    val view = IceLite.create(tmpDir("ivm-death-view") + "/t",
+      IncrementalView.viewSchema(spark, src, vspec), 4)
+    // two convs; all of conv c1's turns are role "user" (TestHelpers.turn)
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(
+      ins(0, "c1", 0, "a"), ins(1, "c1", 1, "b"), ins(2, "c2", 0, "c"))),
+      spec = mor, epoch = Some(("s", 0L)))
+    IncrementalView.refresh(spark, src, view, vspec, mor)
+    assert(rows(IncrementalView.read(spark, view, vspec)).map(_._2).sum == 3)
+    // wipe everything -> the "user" group's cnt hits 0 -> deleted from view
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(
+      del(3, "c1", None), del(4, "c2", None))), spec = mor, epoch = Some(("s", 1L)))
+    IncrementalView.refresh(spark, src, view, vspec, mor)
+    assert(IncrementalView.read(spark, view, vspec).count() == 0)
+    assert(recompute(src).isEmpty)
+  }
+
+  test("catch-up across several source commits in one refresh") {
+    val src = IceLite.create(tmpDir("ivm-catchup-src") + "/t", turnSchema, 4)
+    val view = IceLite.create(tmpDir("ivm-catchup-view") + "/t",
+      IncrementalView.viewSchema(spark, src, vspec), 4)
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(ins(0, "c1", 0, "a"))),
+      spec = mor, epoch = Some(("s", 0L)))
+    IncrementalView.refresh(spark, src, view, vspec, mor)
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(ins(1, "c2", 0, "bb"), upd(2, "c1", 0, "aaa"))),
+      spec = mor, epoch = Some(("s", 1L)))
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(del(3, "c2", Some(0)), ins(4, "c3", 2, "cc"))),
+      spec = mor, epoch = Some(("s", 2L)))
+    val r = IncrementalView.refresh(spark, src, view, vspec, mor) // covers 2 commits
+    assert(!r.result.skipped)
+    assert(rows(IncrementalView.read(spark, view, vspec)) == recompute(src))
+  }
+
+  test("the view is itself feed-readable (downstream of a view composes)") {
+    val src = IceLite.create(tmpDir("ivm-feed-src") + "/t", turnSchema, 4)
+    val view = IceLite.create(tmpDir("ivm-feed-view") + "/t",
+      IncrementalView.viewSchema(spark, src, vspec), 4)
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(ins(0, "c1", 0, "a"))),
+      spec = mor, epoch = Some(("s", 0L)))
+    IncrementalView.refresh(spark, src, view, vspec, mor)
+    val v1 = view.currentVersion
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(ins(1, "c1", 1, "b"))),
+      spec = mor, epoch = Some(("s", 1L)))
+    IncrementalView.refresh(spark, src, view, vspec, mor)
+    val changes = view.readChanges(spark, v1).select("row.role", "row.cnt").collect()
+    assert(changes.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("user", 2L)))
+  }
+}
