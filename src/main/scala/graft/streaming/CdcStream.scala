@@ -150,7 +150,20 @@ object CdcStream {
       maintenanceEvery: Int = 64,
       /** Snapshots kept per table by automatic maintenance (time-travel
         * window; expiry deletes orphaned data files of older versions). */
-      keepSnapshots: Int = 8)
+      keepSnapshots: Int = 8,
+      /** Downstream change-feed consumers, refreshed on the maintenance
+        * cadence (background thread, BEFORE snapshot expiry so their
+        * cursors stay inside the retention window): mirror-table dirs
+        * ([[graft.operators.Mirror.sync]]) kept tracking the primary
+        * state table, created on first sync with its schema. Single-table
+        * streams only; requires a merge-on-read source (feed-readable
+        * commits). A sync failure is logged and retried next cadence,
+        * never an ingest failure. */
+      downstreamMirrors: Seq[String] = Seq.empty,
+      /** Incremental materialized views over the primary state table
+        * ([[graft.operators.IncrementalView.refresh]]), maintained on
+        * the same cadence: (view table dir, view spec). */
+      downstreamViews: Seq[(String, graft.operators.IncrementalView.ViewSpec)] = Seq.empty)
 
   /** Start (or resume, given the same checkpointDir) the ingest stream.
     * Creates the table on first use with the log's after-struct schema.
@@ -159,6 +172,13 @@ object CdcStream {
     val table: Option[IceLiteTable] =
       if (cfg.routing.isDefined) None // routed tables are created on first sight of their topic
       else Some(loadOrCreate(cfg.tableDir, renamedSchema(Schemas.transcript, cfg.spec), cfg.spec))
+    if (cfg.downstreamMirrors.nonEmpty || cfg.downstreamViews.nonEmpty) {
+      require(table.isDefined, "downstream mirrors/views require a single-table stream")
+      require(cfg.spec.mergeStrategy == "mor",
+        "downstream mirrors/views require a merge-on-read source (feed-readable commits)")
+    }
+    // downstream handles, cached across cadences like routedTables
+    val downstreamTables = scala.collection.concurrent.TrieMap.empty[String, IceLiteTable]
     // routed-table handles, cached across epochs: an IceLiteTable handle
     // memoizes its snapshot fold, so reusing it keeps the per-epoch
     // metadata cost at one diff per table (fresh handles would cold-fold
@@ -336,7 +356,29 @@ object CdcStream {
               spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-maintenance")
               logTable.foreach(_.compact(spark, maxFilesPerBucket = 8,
                 onlySmallerThan = 64L << 20))
-              (routedTables.values ++ table ++ logTable).toSeq.distinct
+              // downstream consumers BEFORE expiry: syncing first keeps
+              // their cursors inside the retention window the expiry is
+              // about to enforce. Per-target try: one broken target must
+              // not starve the others (each retries next cadence).
+              table.foreach { src =>
+                def target(d: String, schema: => org.apache.spark.sql.types.StructType) =
+                  downstreamTables.getOrElseUpdate(d,
+                    if (IceLite.exists(d)) IceLite.load(d)
+                    else IceLite.create(d, schema, src.numBuckets))
+                cfg.downstreamMirrors.foreach { d =>
+                  try graft.operators.Mirror.sync(spark, src, target(d, src.schema))
+                  catch { case NonFatal(e) => System.err.println(
+                    s"[graft] WARN downstream mirror $d sync failed (retried next cadence): $e") }
+                }
+                cfg.downstreamViews.foreach { case (d, vs) =>
+                  try graft.operators.IncrementalView.refresh(spark, src,
+                    target(d, graft.operators.IncrementalView.viewSchema(spark, src, vs)), vs)
+                  catch { case NonFatal(e) => System.err.println(
+                    s"[graft] WARN downstream view $d refresh failed (retried next cadence): $e") }
+                }
+              }
+              (routedTables.values ++ table ++ logTable ++ downstreamTables.values)
+                .toSeq.distinct
                 .foreach(_.expireSnapshots(cfg.keepSnapshots))
             } catch {
               case NonFatal(e) =>

@@ -253,6 +253,33 @@ class StreamingSpec extends SparkSuite {
     assert(t.current.properties.keys.exists(_.startsWith("epoch:")))
   }
 
+  test("downstream mirror + incremental view track the streamed table via the maintenance cadence") {
+    val root = tmpDir("stream-downstream")
+    val cfg = ChangeLogGen.GenConfig(numEvents = 1500, numConvs = 20, maxTurns = 6, logPartitions = 2)
+    ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 4)
+    val vspec = graft.operators.IncrementalView.ViewSpec(
+      dims = Seq("role" -> col("role")),
+      sums = Seq("chars" -> length(col("text")).cast("long")))
+    val sc = CdcStream.StreamConfig(
+      s"$root/log", s"$root/table", s"$root/ckpt",
+      maxFilesPerTrigger = Some(1), maintenanceEvery = 1,
+      downstreamMirrors = Seq(s"$root/mirror"),
+      downstreamViews = Seq(s"$root/view" -> vspec))
+    val t = CdcStream.runAvailable(spark, sc)
+    // cadence = every epoch, so after awaitMaintenance (inside runAvailable)
+    // both consumers are synced to the final source version
+    val mirror = IceLite.load(s"$root/mirror")
+    assert(stateTriples(mirror) == stateTriples(t) && stateTriples(t).nonEmpty)
+    assert(graft.operators.Mirror.cursor(t, mirror).contains(t.currentVersion))
+    val view = IceLite.load(s"$root/view")
+    val got = graft.operators.IncrementalView.read(spark, view, vspec)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val want = t.read(spark).groupBy("role")
+      .agg(count(lit(1)).as("cnt"), sum(length(col("text")).cast("long")).as("chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == want && got.nonEmpty)
+  }
+
   test("crash after table commit but before checkpoint commit: epoch re-run is skipped") {
     val root = tmpDir("stream-crash")
     val cfg = ChangeLogGen.GenConfig(numEvents = 1500, numConvs = 20, maxTurns = 6, logPartitions = 2)
