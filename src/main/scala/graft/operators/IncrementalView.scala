@@ -164,8 +164,17 @@ object IncrementalView {
   def read(spark: SparkSession, view: IceLiteTable, spec: ViewSpec): DataFrame =
     view.read(spark).select(spec.dims.map(d => col(d._1)) ++ spec.measureNames.map(col): _*)
 
+  /** Collision-free key for the dim tuple: JSON-encoded struct. Field
+    * names + JSON escaping make the encoding injective for ANY dim
+    * values -- a separator-joined concat collides when the data itself
+    * contains the separator (control chars do occur in scraped text).
+    * `ignoreNullFields=false` pins null encoding independent of the
+    * session's json-generator default. Cost is per changed GROUP (the
+    * aggregation has already run), not per source row.
+    */
   private def viewKey(spec: ViewSpec): Column =
-    concat_ws("", spec.dims.map(d => coalesce(col(d._1).cast("string"), lit(""))): _*)
+    to_json(struct(spec.dims.map(d => col(d._1)): _*),
+      java.util.Map.of("ignoreNullFields", "false"))
 
   private def emptyOf(spark: SparkSession, source: IceLiteTable): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), source.schema)

@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * windows).
   *
   * Scale notes (100 TB):
-  *  - every operator here shuffles ONCE on `user_id` (or the group key)
-  *    and computes per-key state in a single window/aggregation pass —
-  *    no self-range-joins, no per-row subqueries;
+  *  - every operator here partitions on `user_id` (or the group key)
+  *    and computes per-key state in window/aggregation passes — no
+  *    self-range-joins, no per-row subqueries, no all-pairs shapes;
   *  - the as-of join is the melt formulation: both sides live in one
   *    partition-ordered pass (`last(..., ignoreNulls)` over a strictly-
   *    prior row frame), so cost is O(events) per key, not
@@ -89,8 +89,12 @@ object EventAnalytics {
     }),
 
     // -- ordered funnel: signup -> first click within 7d -> first purchase
-    //    after that click, still within 7d of signup. Three aggregations
-    //    co-partitioned on user_id (Spark reuses the hash exchange).
+    //    after that click, still within 7d of signup. Each step joins a
+    //    filtered scan (event_type pushed to parquet) against the PREVIOUS
+    //    step's per-user aggregate — a strictly shrinking side that AQE
+    //    broadcasts (the sf0.1 plan shows BroadcastHashJoin per step); if a
+    //    step ever outgrew the broadcast threshold it degrades to a
+    //    user_id-partitioned shuffle join, never an all-pairs shape.
     "q36_funnel_steps" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val week = expr("INTERVAL 7 DAYS")

@@ -99,6 +99,39 @@ class IncrementalViewSpec extends SparkSuite {
     assert(rows(IncrementalView.read(spark, view, vspec)) == recompute(src))
   }
 
+  test("multi-dim keys are injective: adversarial dim values stay distinct groups") {
+    // two groups whose tuples concatenate identically under any single
+    // separator the data can also contain: ("ab","c") vs ("a","bc")
+    // -- and a null dim vs an empty-string dim. Each must remain its own
+    // view row through bootstrap AND incremental refresh.
+    val dims = ViewSpec(
+      dims = Seq(
+        "d1" -> split(col("text"), "\\|").getItem(0),
+        "d2" -> when(split(col("text"), "\\|").getItem(1) === "NULL", lit(null))
+          .otherwise(split(col("text"), "\\|").getItem(1))),
+      sums = Seq("turns" -> col("turn_idx").cast("long")))
+    val src = IceLite.create(tmpDir("ivm-inj-src") + "/t", turnSchema, 4)
+    val view = IceLite.create(tmpDir("ivm-inj-view") + "/t",
+      IncrementalView.viewSchema(spark, src, dims), 4)
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(
+      ins(0, "c1", 0, "ab|c"), ins(1, "c2", 0, "a|bc"),
+      ins(2, "c3", 0, "x|NULL"), ins(3, "c4", 0, "x|"))),
+      spec = mor, epoch = Some(("s", 0L)))
+    IncrementalView.refresh(spark, src, view, dims, mor)
+    def viewGroups() = IncrementalView.read(spark, view, dims)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2))).toSeq.sorted
+    assert(viewGroups() == Seq(
+      ("a", Some("bc"), 1L), ("ab", Some("c"), 1L),
+      ("x", None, 1L), ("x", Some(""), 1L)))
+    // incremental refresh must hit the SAME keys (join with current view rows)
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(
+      ins(4, "c5", 1, "ab|c"), del(5, "c3", None))),
+      spec = mor, epoch = Some(("s", 1L)))
+    IncrementalView.refresh(spark, src, view, dims, mor)
+    assert(viewGroups() == Seq(
+      ("a", Some("bc"), 1L), ("ab", Some("c"), 2L), ("x", Some(""), 1L)))
+  }
+
   test("the view is itself feed-readable (downstream of a view composes)") {
     val src = IceLite.create(tmpDir("ivm-feed-src") + "/t", turnSchema, 4)
     val view = IceLite.create(tmpDir("ivm-feed-view") + "/t",
