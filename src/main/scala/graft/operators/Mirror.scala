@@ -26,8 +26,12 @@ import graft.table.{ChangeFeed, IceLiteTable}
   * First sync (no cursor) bootstraps from the source's full state at
   * `toVersion` (`readAt` — O(state), valid regardless of snapshot
   * expiry); later syncs are incremental (O(changes since cursor)) and
-  * require the range's snapshots to survive source expiry, like any
-  * feed read.
+  * require the range's snapshots — INCLUDING the cursor version, the
+  * feed baseline — to survive source expiry, like any feed read. The
+  * streaming path enforces this automatically (consumer-cursor-pinned
+  * retention, [[graft.streaming.CdcStream.pinnedKeep]]); manual users
+  * must expire the source with `keepLast >= currentVersion - cursor + 1`
+  * or re-create a mirror whose cursor fell out of the window.
   *
   * Ordering: feed rows map back to change events with
   * `offset = 2*version + (1 if row-level else 0)`, so (a) later source

@@ -377,7 +377,30 @@ object CdcStream {
                     s"[graft] WARN downstream view $d refresh failed (retried next cadence): $e") }
                 }
               }
-              (routedTables.values ++ table ++ logTable ++ downstreamTables.values)
+              // Consumer-cursor-pinned retention on the SOURCE table: a
+              // target whose sync just failed holds a cursor older than
+              // this cadence; expiring past it would wedge the target
+              // permanently (its next sync needs snapshot(cursor) as the
+              // feed baseline). Iceberg-refs/Kafka-consumer-offset shape:
+              // registered consumers pin retention (bootstrapping targets
+              // with no cursor yet pin nothing — a bootstrap reads the
+              // CURRENT version).
+              val srcCursors = table.toSeq.flatMap { src =>
+                cfg.downstreamMirrors.flatMap(d =>
+                  downstreamTables.get(d).flatMap(t => graft.operators.Mirror.cursor(src, t))) ++
+                  cfg.downstreamViews.flatMap { case (d, _) =>
+                    downstreamTables.get(d).flatMap(t =>
+                      graft.operators.IncrementalView.cursor(src, t)) }
+              }
+              table.foreach { src =>
+                val keep = pinnedKeep(cfg.keepSnapshots, src.currentVersion, srcCursors)
+                if (keep > 4 * math.max(1, cfg.keepSnapshots)) System.err.println(
+                  s"[graft] WARN stream '${cfg.streamId}': a downstream consumer's cursor pins " +
+                    s"$keep snapshots on ${src.dir} (base ${cfg.keepSnapshots}) — a repeatedly " +
+                    "failing mirror/view holds back snapshot expiry until it recovers")
+                src.expireSnapshots(keep)
+              }
+              (routedTables.values ++ logTable ++ downstreamTables.values)
                 .toSeq.distinct
                 .foreach(_.expireSnapshots(cfg.keepSnapshots))
             } catch {
@@ -402,6 +425,15 @@ object CdcStream {
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** keepLast for a source table with registered downstream consumers:
+    * retention must reach back to the oldest consumer cursor (inclusive —
+    * the next incremental sync reads `snapshot(cursor)` as its feed
+    * baseline), floored at the configured base window.
+    */
+  private[graft] def pinnedKeep(base: Int, currentVersion: Long, cursors: Seq[Long]): Int =
+    if (cursors.isEmpty) base
+    else math.max(base, (currentVersion - cursors.min + 1).toInt)
 
   /** Pure after-struct projection (no job): restrict the envelope to the
     * given field names, preserving envelope order.

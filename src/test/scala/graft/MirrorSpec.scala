@@ -97,6 +97,31 @@ class MirrorSpec extends SparkSuite {
     assert(state(dst) == Seq(("c1", 0, "a2")) && state(dst) == state(src))
   }
 
+  test("cursor-pinned retention: a lagging mirror survives source expiry and catches up") {
+    val src = IceLite.create(tmpDir("mir-pin-src") + "/t", turnSchema, 4)
+    val dst = IceLite.create(tmpDir("mir-pin-dst") + "/t", turnSchema, 4)
+    (0 until 2).foreach { i =>
+      CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(ins(i.toLong, s"c$i", 0, s"t$i"))),
+        spec = mor, epoch = Some(("s", i.toLong)))
+    }
+    Mirror.sync(spark, src, dst, mor) // cursor now at this version, then the mirror "fails"
+    val cursor = Mirror.cursor(src, dst).get
+    (2 until 6).foreach { i =>
+      CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(ins(i.toLong, s"c$i", 0, s"t$i"))),
+        spec = mor, epoch = Some(("s", i.toLong)))
+    }
+    // the streaming maintenance path expires with the consumer pin: the
+    // cursor snapshot (the next sync's feed BASELINE) must survive even
+    // though base keepSnapshots=1 would have dropped it
+    val keep = graft.streaming.CdcStream.pinnedKeep(1, src.currentVersion, Seq(cursor))
+    assert(keep.toLong == src.currentVersion - cursor + 1)
+    src.expireSnapshots(keep)
+    val r = Mirror.sync(spark, src, dst, mor)
+    assert(!r.result.skipped && state(dst) == state(src) && state(dst).size == 6)
+    // control: with no registered consumers the base window applies unchanged
+    assert(graft.streaming.CdcStream.pinnedKeep(3, 100L, Seq.empty) == 3)
+  }
+
   test("cow targets are rejected up front") {
     val src = IceLite.create(tmpDir("mir-cow-src") + "/t", turnSchema, 4)
     val dst = IceLite.create(tmpDir("mir-cow-dst") + "/t", turnSchema, 4)
