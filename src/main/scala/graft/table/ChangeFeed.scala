@@ -99,15 +99,38 @@ object ChangeFeed {
       else spark.read.schema(MorRead.deltaSchema(sch)).parquet(fs: _*)
         .withColumnRenamed("seq", "_commit_version")
     }
-    // append commits stamp their version driver-side (base rows carry none)
-    val inserts = appends.map { case (v, fs) =>
-      spark.read.schema(sch).parquet(abs(fs): _*)
+    // append commits stamp their version driver-side (base rows carry
+    // none): ONE scan over every appended file in the range, the
+    // committing version joined back per file (broadcast of
+    // O(files-in-range) narrow rows). A scan-per-commit union would grow
+    // the PLAN with the range — a catch-up read over a thousand append
+    // commits must not build a thousand-way union.
+    val inserts = if (appends.isEmpty) empty
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      // qualified URI form, matching what the scan's _metadata.file_path reports
+      def qualify(p: String): String = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).makeQualified(hp).toString
+      }
+      val fileVer: Seq[(String, Long)] =
+        appends.flatMap { case (v, fs) => abs(fs).map(f => (qualify(f), v)) }
+      import spark.implicits._
+      val vmap = fileVer.toDF("_file_path", "_commit_version")
+      spark.read.schema(sch).parquet(fileVer.map(_._1): _*)
+        .withColumn("_file_path", col("_metadata.file_path"))
+        .join(broadcast(vmap), Seq("_file_path"), "left")
         .select(
           col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
           lit(NetAction.Put).as("action"),
           struct(sch.fieldNames.toSeq.map(col): _*).as("row"),
-          lit(v).as("_commit_version"))
+          // a scan path that fails to map back to its commit would
+          // silently DROP feed rows under an inner join — fail loudly
+          // instead (the feed contract is never-a-wrong-result)
+          coalesce(col("_commit_version"),
+            raise_error(concat(lit("change-feed: appended file not in the version map: "),
+              col("_file_path"))).cast("long")).as("_commit_version"))
     }
-    inserts.foldLeft(mor)(_.unionByName(_))
+    mor.unionByName(inserts)
   }
 }
