@@ -17,13 +17,16 @@ import graft.table.{ChangeFeed, IceLiteTable}
   * friends derive from them at read time.
   *
   * Maintenance math: for the snapshot range `(from, to]`, the group
-  * delta is computed from the BEFORE and AFTER states of only the
-  * touched conversations (bucket-pruned `readAt` + semi join):
-  * `delta = agg(after) - agg(before)`. Conversation granularity keeps
-  * the logic action-free — a key that did not change contributes the
-  * same row to both sides and cancels exactly, while inserts, updates,
-  * deletes, and series wipes all reduce to "rows present on one side,
-  * absent or different on the other". No per-action case analysis, no
+  * delta is `agg(after) - agg(before)` over only the touched
+  * conversations. The BEFORE state is read once (bucket-pruned `readAt`
+  * at `from` + semi join, locally checkpointed — its rows are O(touched
+  * convs x turns)); the AFTER state is DERIVED by rolling the feed's
+  * actions forward over it ([[graft.table.MorRead.foldState]]) — no
+  * second state read. Conversation granularity keeps the logic
+  * action-free — a key that did not change contributes the same row to
+  * both sides and cancels exactly, while inserts, updates, deletes, and
+  * series wipes all reduce to "rows present on one side, absent or
+  * different on the other". No per-action case analysis, no
   * before-images stored in the feed.
   *
   * The view itself is an IceLite table keyed by the dim tuple
@@ -33,11 +36,17 @@ import graft.table.{ChangeFeed, IceLiteTable}
   * skipped, crash-idempotent) and the view is itself feed-readable —
   * downstream consumers can tail the VIEW's changes.
   *
-  * Refresh cost: feed scan O(changes) + two bucket-pruned state scans
-  * of touched buckets + a group-delta aggregation O(touched rows) + a
-  * view upsert O(changed groups). A refresh with no new commits is a
+  * Refresh cost: feed scan O(changes) + ONE bucket-pruned state scan of
+  * the touched buckets (shuffling only touched-conversation rows) + a
+  * group-delta aggregation O(touched rows) + a view upsert O(changed
+  * groups). The scan term is the honest bound: hash bucketing spreads
+  * any realistic change set across buckets, so "touched buckets" ≈ the
+  * table — but the scan is column-pruned and shuffle-free for untouched
+  * keys, while a full recompute additionally shuffles O(all groups) and
+  * rebuilds the result from scratch. A refresh with no new commits is a
   * skip; a refresh of a view whose table has no cursor bootstraps from
-  * a full aggregate at `to` (the only O(corpus) step, paid once).
+  * a full aggregate at `to` (the only step that also FOLDS the whole
+  * corpus, paid once).
   */
 object IncrementalView {
 
@@ -82,6 +91,18 @@ object IncrementalView {
 
   /** Group delta of the range `(from, to]`: one row per group whose
     * aggregate changed, carrying the SIGNED change of each measure.
+    *
+    * One state read, not two: the BEFORE state of the touched
+    * conversations is read at `fromVersion` (bucket-pruned + semi join);
+    * the AFTER state is derived from it by rolling the range's feed
+    * actions forward ([[graft.table.MorRead.foldState]] — base rows rank
+    * seq 0, feed actions carry their committing versions), so the
+    * expensive part of a refresh is ONE scan of the touched buckets plus
+    * an O(changes) fold, never a second full state read (the `to`-side
+    * read is the costly one: right after an apply every touched bucket
+    * has fresh deltas to fold). Ranges containing append commits fall
+    * back to reading both sides: append tables may hold several rows per
+    * key, which the keyed fold would wrongly collapse.
     */
   def groupDelta(
       spark: SparkSession,
@@ -95,10 +116,36 @@ object IncrementalView {
     val bk = feed.select(graft.table.IceLite.bucketOf(col("conv_id"), source.numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     if (bk.isEmpty) return aggregate(emptyOf(spark, source), spec).limit(0)
-    def touched(v: Long) =
-      source.readAt(spark, v, Some(bk)).join(convs, Seq("conv_id"), "left_semi")
-    val pos = aggregate(touched(toVersion), spec).select(col("*"), lit(1L).as("sign"))
-    val neg = aggregate(touched(fromVersion), spec).select(col("*"), lit(-1L).as("sign"))
+    // schema as of the range end — what the feed's row structs carry
+    val sch = org.apache.spark.sql.types.DataType
+      .fromJson(source.snapshot(toVersion).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def widen(df: DataFrame): DataFrame =
+      df.select(sch.fields.toSeq.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    val rangeHasAppends = ((fromVersion + 1) to toVersion)
+      .exists(v => source.snapshot(v).metrics.contains("bucketsAppended"))
+    val before0 = widen(
+      source.readAt(spark, fromVersion, Some(bk)).join(convs, Seq("conv_id"), "left_semi"))
+    // the fold path consumes `before` twice (the negative aggregate and
+    // the fold's base); its rows are O(touched convs x turns) — small —
+    // while producing it costs a touched-bucket scan: a lazy local
+    // checkpoint materializes that scan ONCE (reclaimed by the
+    // ContextCleaner when the refresh plan is dropped; on a lossy
+    // multi-executor cluster use reliable checkpoint — same shape)
+    val before = if (rangeHasAppends) before0 else before0.localCheckpoint(false)
+    val after =
+      if (rangeHasAppends)
+        widen(source.readAt(spark, toVersion, Some(bk)).join(convs, Seq("conv_id"), "left_semi"))
+      else
+        graft.table.MorRead.foldState(
+          before,
+          feed.select(col("conv_id"), col("turn_idx"), col("action"), col("row"),
+            col("_commit_version").as("seq")),
+          sch)
+    val pos = aggregate(after, spec).select(col("*"), lit(1L).as("sign"))
+    val neg = aggregate(before, spec).select(col("*"), lit(-1L).as("sign"))
     val deltas = spec.measureNames.map(n => sum(col(n) * col("sign")).as(n))
     pos.unionByName(neg)
       .groupBy(spec.dims.map(d => col(d._1)): _*)

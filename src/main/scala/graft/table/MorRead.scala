@@ -113,6 +113,23 @@ object MorRead {
     }
   }
 
+  /** Fold an explicit base-state DataFrame with an explicit delta-action
+    * DataFrame into the resulting state — the feed consumer's
+    * "roll the feed forward" primitive: given keyed state at version A
+    * and the net actions committed in (A, B], produce the state at B
+    * without reading it ([[graft.operators.IncrementalView]] uses this to
+    * derive after-state from before-state + feed, saving a second state
+    * read). `deltas` must have [[deltaSchema]] shape with `row` under
+    * `tableSchema`; base rows rank at seq 0, so any delta in the range
+    * supersedes them. Assumes keyed state semantics (at most one live row
+    * per (conv_id, turn_idx)) — not applicable to append-only tables.
+    */
+  def foldState(base: DataFrame, deltas: DataFrame, tableSchema: StructType): DataFrame = {
+    val wipes = deltas.filter(col("action") === NetAction.Wipe)
+      .groupBy("conv_id").agg(max("seq").as("wipe_seq"))
+    fold(base, deltas, wipes, tableSchema.fieldNames.toSeq)
+  }
+
   /** The fold aggregation over (a subset of) base rows ∪ delta actions —
     * one hash-partitioned aggregation, the same shape and scale behavior
     * as the in-batch fold (SURVEY.md §2.A A5/A6).

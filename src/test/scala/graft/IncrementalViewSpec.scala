@@ -132,6 +132,29 @@ class IncrementalViewSpec extends SparkSuite {
       ("a", Some("bc"), 1L), ("ab", Some("c"), 2L), ("x", Some(""), 1L)))
   }
 
+  test("a view over an append-only source keeps duplicate keys (two-read fallback)") {
+    import graft.operators.EventLogApply
+    // an event log holds EVERY delivered event — several rows per
+    // (conv_id, turn_idx) are legitimate; the keyed feed-fold fast path
+    // would collapse them, so ranges with append commits must fall back
+    // to reading both sides
+    val logSchema = EventLogApply.logSchema(turnSchema)
+    val src = IceLite.create(tmpDir("ivm-log-src") + "/t", logSchema, 4)
+    val vspec2 = ViewSpec(dims = Seq("op" -> col("op")))
+    val view = IceLite.create(tmpDir("ivm-log-view") + "/t",
+      IncrementalView.viewSchema(spark, src, vspec2), 4)
+    EventLogApply.appendBatch(spark, src, eventsDF(spark, Seq(
+      ins(0, "c1", 0, "a"), upd(1, "c1", 0, "a2"))), epoch = Some(("l", 0L)))
+    IncrementalView.refresh(spark, src, view, vspec2, mor)
+    // same keys appended AGAIN in the incremental range — counts must add
+    EventLogApply.appendBatch(spark, src, eventsDF(spark, Seq(
+      upd(2, "c1", 0, "a3"), del(3, "c1", Some(0)))), epoch = Some(("l", 1L)))
+    IncrementalView.refresh(spark, src, view, vspec2, mor)
+    val got = IncrementalView.read(spark, view, vspec2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq(("delete", 1L), ("insert", 1L), ("update", 2L)))
+  }
+
   test("the view is itself feed-readable (downstream of a view composes)") {
     val src = IceLite.create(tmpDir("ivm-feed-src") + "/t", turnSchema, 4)
     val view = IceLite.create(tmpDir("ivm-feed-view") + "/t",
