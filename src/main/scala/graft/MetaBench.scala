@@ -123,7 +123,11 @@ object MetaBench {
          |per epoch and those buckets hold more state as the table grows
          |(the intrinsic amortized O(state/threshold) write cost), while
          |the metadata-side evidence is the bounded snap-dir file count and
-         |the constant per-commit fold step.
+         |the constant per-commit fold step. The slowest-5 attribution is
+         |the maintenance verdict: epochs tagged `cadence`/`cadence+1`
+         |would mean maintenance stalls the stream; `[-]` tags mean the
+         |slow epochs are ordinary ones caught in the VM's documented
+         |noise windows and maintenance never appears in the slow set.
          |""".stripMargin
     Files.createDirectories(Paths.get("/root/repo/BENCH"))
     Files.writeString(Paths.get("/root/repo/BENCH/metadata-flatness.md"), md)
