@@ -138,6 +138,26 @@ object EventAnalytics {
           sum(col("value").cast(dec)).cast("double").as("total_value"))
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("total_value"))
+    }),
+
+    // -- SCD2 version intervals: each state-changing (anchor) event opens
+    //    a version of its user valid until the next anchor — the query
+    //    surface of the engine's Scd2History derived table (there
+    //    maintained incrementally over the change feed; here derived in
+    //    one window pass, the batch-recompute formulation). One shuffle
+    //    on user_id; O(events) per key. --------------------------------
+    "q39_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      t(s, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select(
+          col("user_id"),
+          (row_number().over(w) - 1).as("version_seq"),
+          col("event_type").as("status"),
+          col("value"),
+          col("event_id").as("valid_from_id"),
+          lead(col("event_id"), 1).over(w).as("valid_to_id"),
+          when(lead(col("event_id"), 1).over(w).isNull, 1).otherwise(0).as("is_current"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -197,5 +217,12 @@ object EventAnalytics {
     "q38_window_agg" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q39_scd2_intervals" ->
+      """SELECT user_id, CAST(row_number() OVER w - 1 AS INT) AS version_seq,
+        |  event_type AS status, value, event_id AS valid_from_id,
+        |  lead(event_id) OVER w AS valid_to_id,
+        |  CAST(CASE WHEN lead(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM events WHERE event_type IN ('signup','purchase','error')
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin)
 }

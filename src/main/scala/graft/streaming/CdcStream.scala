@@ -163,7 +163,11 @@ object CdcStream {
       /** Incremental materialized views over the primary state table
         * ([[graft.operators.IncrementalView.refresh]]), maintained on
         * the same cadence: (view table dir, view spec). */
-      downstreamViews: Seq[(String, graft.operators.IncrementalView.ViewSpec)] = Seq.empty)
+      downstreamViews: Seq[(String, graft.operators.IncrementalView.ViewSpec)] = Seq.empty,
+      /** SCD2 version-history tables over the primary state table
+        * ([[graft.operators.Scd2History.refresh]]), maintained on the
+        * same cadence: history table dirs. */
+      downstreamHistories: Seq[String] = Seq.empty)
 
   /** Start (or resume, given the same checkpointDir) the ingest stream.
     * Creates the table on first use with the log's after-struct schema.
@@ -172,10 +176,11 @@ object CdcStream {
     val table: Option[IceLiteTable] =
       if (cfg.routing.isDefined) None // routed tables are created on first sight of their topic
       else Some(loadOrCreate(cfg.tableDir, renamedSchema(Schemas.transcript, cfg.spec), cfg.spec))
-    if (cfg.downstreamMirrors.nonEmpty || cfg.downstreamViews.nonEmpty) {
-      require(table.isDefined, "downstream mirrors/views require a single-table stream")
+    if (cfg.downstreamMirrors.nonEmpty || cfg.downstreamViews.nonEmpty ||
+        cfg.downstreamHistories.nonEmpty) {
+      require(table.isDefined, "downstream mirrors/views/histories require a single-table stream")
       require(cfg.spec.mergeStrategy == "mor",
-        "downstream mirrors/views require a merge-on-read source (feed-readable commits)")
+        "downstream mirrors/views/histories require a merge-on-read source (feed-readable commits)")
     }
     // downstream handles, cached across cadences like routedTables
     val downstreamTables = scala.collection.concurrent.TrieMap.empty[String, IceLiteTable]
@@ -376,6 +381,12 @@ object CdcStream {
                   catch { case NonFatal(e) => System.err.println(
                     s"[graft] WARN downstream view $d refresh failed (retried next cadence): $e") }
                 }
+                cfg.downstreamHistories.foreach { d =>
+                  try graft.operators.Scd2History.refresh(spark, src,
+                    target(d, graft.operators.Scd2History.historySchema(src.schema)))
+                  catch { case NonFatal(e) => System.err.println(
+                    s"[graft] WARN downstream history $d refresh failed (retried next cadence): $e") }
+                }
               }
               // Consumer-cursor-pinned retention on the SOURCE table: a
               // target whose sync just failed holds a cursor older than
@@ -390,7 +401,10 @@ object CdcStream {
                   downstreamTables.get(d).flatMap(t => graft.operators.Mirror.cursor(src, t))) ++
                   cfg.downstreamViews.flatMap { case (d, _) =>
                     downstreamTables.get(d).flatMap(t =>
-                      graft.operators.IncrementalView.cursor(src, t)) }
+                      graft.operators.IncrementalView.cursor(src, t)) } ++
+                  cfg.downstreamHistories.flatMap(d =>
+                    downstreamTables.get(d).flatMap(t =>
+                      graft.operators.Scd2History.cursor(src, t)))
               }
               table.foreach { src =>
                 val keep = pinnedKeep(cfg.keepSnapshots, src.currentVersion, srcCursors)

@@ -85,6 +85,21 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(jan1 == Seq((0, 3L), (1, 1L), (8, 1L)))
   }
 
+  test("q39 scd2 intervals: anchors chain [from, to) per user; only the last is current") {
+    val df = SparkEntry.queries("q39_scd2_intervals")(spark, fixtureDir)
+    // user 2: signup(5) -> purchase(7); the click is not an anchor
+    val u2 = df.filter(col("user_id") === 2L).orderBy("version_seq").collect()
+      .map(r => (r.getInt(r.fieldIndex("version_seq")), r.getString(r.fieldIndex("status")),
+        r.getLong(r.fieldIndex("valid_from_id")),
+        if (r.isNullAt(r.fieldIndex("valid_to_id"))) None else Some(r.getLong(r.fieldIndex("valid_to_id"))),
+        r.getInt(r.fieldIndex("is_current")))).toSeq
+    assert(u2 == Seq((0, "signup", 5L, Some(7L), 0), (1, "purchase", 7L, None, 1)))
+    // user 1: one anchor (purchase 4), current
+    assert(df.filter(col("user_id") === 1L).count() == 1)
+    assert(df.filter(col("is_current") === 1).count() ===
+      df.select("user_id").distinct().count())
+  }
+
   test("q38 window agg: one UTC-day tumbling window per (day, type) with exact counts") {
     val df = SparkEntry.queries("q38_window_agg")(spark, fixtureDir)
     val d1views = df.filter(col("w_start") === lit(Timestamp.valueOf("2024-01-01 00:00:00")) &&

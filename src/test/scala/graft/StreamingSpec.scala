@@ -253,7 +253,7 @@ class StreamingSpec extends SparkSuite {
     assert(t.current.properties.keys.exists(_.startsWith("epoch:")))
   }
 
-  test("downstream mirror + incremental view track the streamed table via the maintenance cadence") {
+  test("downstream mirror + incremental view + SCD2 history track the streamed table via the maintenance cadence") {
     val root = tmpDir("stream-downstream")
     val cfg = ChangeLogGen.GenConfig(numEvents = 1500, numConvs = 20, maxTurns = 6, logPartitions = 2)
     ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 4)
@@ -264,10 +264,11 @@ class StreamingSpec extends SparkSuite {
       s"$root/log", s"$root/table", s"$root/ckpt",
       maxFilesPerTrigger = Some(1), maintenanceEvery = 1,
       downstreamMirrors = Seq(s"$root/mirror"),
-      downstreamViews = Seq(s"$root/view" -> vspec))
+      downstreamViews = Seq(s"$root/view" -> vspec),
+      downstreamHistories = Seq(s"$root/history"))
     val t = CdcStream.runAvailable(spark, sc)
     // cadence = every epoch, so after awaitMaintenance (inside runAvailable)
-    // both consumers are synced to the final source version
+    // all consumers are synced to the final source version
     val mirror = IceLite.load(s"$root/mirror")
     assert(stateTriples(mirror) == stateTriples(t) && stateTriples(t).nonEmpty)
     assert(graft.operators.Mirror.cursor(t, mirror).contains(t.currentVersion))
@@ -278,6 +279,14 @@ class StreamingSpec extends SparkSuite {
       .agg(count(lit(1)).as("cnt"), sum(length(col("text")).cast("long")).as("chars"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(got == want && got.nonEmpty)
+    val history = IceLite.load(s"$root/history")
+    assert(graft.operators.Scd2History.cursor(t, history).contains(t.currentVersion))
+    val curState = graft.operators.Scd2History.currentState(spark, history)
+      .select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(curState == stateTriples(t))
+    // versioned rows exist beyond the current ones (the replay mutates keys)
+    assert(history.read(spark).filter(!col("is_current")).count() > 0)
   }
 
   test("crash after table commit but before checkpoint commit: epoch re-run is skipped") {
