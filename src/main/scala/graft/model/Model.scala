@@ -120,6 +120,26 @@ final case class MergeSpec(
       * pays a second batch scan, a join and a distinct — measured slower;
       * kept as the escape hatch for payloads far wider than these) */
     foldStrategy: String = "agg",
+    /** which key the fold's ONE payload exchange targets (MOR path only).
+      *
+      * "bucket" (default): the batch is exchanged once onto the table's
+      * bucket key before the fold; the fold groups on (bucket, key)
+      * partition-locally and its output is already laid out for the
+      * per-bucket delta write — the payload crosses the wire exactly
+      * ONCE per epoch.
+      *
+      * "key": the fold exchanges on the upsert key and the delta write
+      * redistributes by bucket — the payload crosses TWICE, but map-side
+      * partial aggregation collapses duplicates before the first
+      * crossing. Prefer it only when re-delivery duplication is high
+      * (roughly >2 deliveries/event on average); at ordinary duplication
+      * the bucket alignment halves the fold's shuffle bytes (the
+      * dominant memory traffic of the replay at every core count).
+      *
+      * Applies to foldStrategy="agg" on the MOR path; the "join" fold
+      * keeps key alignment (its shuffled fetch join re-exchanges on the
+      * full join key regardless — see netActionsViaJoin). */
+    foldAlignment: String = "bucket",
     /** how a batch's net actions reach the table.
       *
       * "cow" = copy-on-write: every affected bucket is rewritten per

@@ -207,8 +207,9 @@ object CdcApply {
                   org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
             else MergeEngine.seriesWipes(valid)
           val wipes = if (nWipes <= WipeBroadcastMax) broadcast(wipes0) else wipes0
+          val aligned = if (spec.foldAlignment == "bucket") Some(table.numBuckets) else None
           val actions =
-            if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
+            if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
             else MergeEngine.netActionsViaJoin(valid, wipes)
           applyMor(spark, table, snap0, normalize(actions), wipes, evolved, epoch, planF,
             writeQuarantine)
@@ -298,11 +299,23 @@ object CdcApply {
       lit(null).cast("int").as("turn_idx"),
       lit(NetAction.Wipe).as("action"),
       lit(null).cast(evolved).as("row"))
-    val deltaRows = normActions
-      .select(col("conv_id"), col("turn_idx"), col("action"), col("row"))
+      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+    // Bucket-aligned actions (MergeSpec.foldAlignment="bucket") arrive
+    // already exchanged + grouped on the bucket key: write them AS IS —
+    // each task holds exactly one bucket, so partitionBy emits one delta
+    // file per touched bucket with no further exchange. Key-aligned
+    // actions need the write-side redistribution (AQE rebalance: hot
+    // buckets split, cold coalesce).
+    val preAligned = normActions.columns.contains("bucket")
+    val actionRows =
+      if (preAligned)
+        normActions.select(col("bucket"), col("conv_id"), col("turn_idx"), col("action"), col("row"))
+      else normActions
+        .select(col("conv_id"), col("turn_idx"), col("action"), col("row"))
+        .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+    val deltaRows = actionRows
       .unionByName(wipeRows)
       .withColumn("seq", lit(seq))
-      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
 
     // Delta files are TRANSIENT (folded into zstd'd, sorted, bloom'd base
     // files at compaction): write them LSM-L0 style — light compression,
@@ -311,8 +324,8 @@ object CdcApply {
     // buy nothing here and the zstd+sort CPU was the largest block of the
     // per-epoch profile.
     val stage = table.newStageDir()
-    deltaRows
-      .hint("rebalance", "bucket") // AQE splits hot buckets, coalesces cold
+    (if (preAligned) deltaRows
+     else deltaRows.hint("rebalance", "bucket")) // AQE splits hot buckets, coalesces cold
       .write.mode("overwrite")
       .option("compression", "snappy")
       .partitionBy("bucket")

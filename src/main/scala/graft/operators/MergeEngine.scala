@@ -116,12 +116,35 @@ object MergeEngine {
     * decides whether to broadcast it (CdcApply does, below its bulk-delete
     * threshold); an unhinted wipe set joins by shuffle, and AQE still
     * broadcasts it at runtime if it is actually small.
+    *
+    * `bucketed = Some(n)`: BUCKET-ALIGNED fold. The batch is exchanged
+    * ONCE onto the table's bucket key (`bucketOf(conv_id) % n`) before
+    * the fold, the fold groups on (bucket, key) — HashPartitioning(bucket)
+    * satisfies the agg's ClusteredDistribution because bucket is one of
+    * the grouping keys — and the output carries `bucket`, already laid
+    * out for a per-bucket delta write with NO further exchange. The
+    * payload crosses the wire exactly once per epoch (key-aligned plans
+    * cross twice: fold exchange + write redistribution). Trade-off: the
+    * bucket exchange moves RAW events, so map-side partial aggregation
+    * no longer collapses duplicates pre-shuffle — prefer key alignment
+    * when re-delivery duplication exceeds ~2x (see MergeSpec.foldAlignment).
     */
-  def netActions(events: DataFrame, wipes: DataFrame): DataFrame = {
-    val turnEvents = events
+  def netActions(events: DataFrame, wipes: DataFrame,
+                 bucketed: Option[Int] = None): DataFrame = {
+    val turnEvents0 = events
       .filter(col("turn_idx").isNotNull)
       .join(wipes, Seq("conv_id"), "left")
       .filter(col("offset") > coalesce(col("wipe_off"), lit(Long.MinValue)))
+    // repartition AFTER the wipe join: a bulk (non-broadcast) wipe join
+    // exchanges on conv_id anyway; aligning before it would add a third
+    // payload crossing instead of removing one
+    val turnEvents = bucketed match {
+      case Some(n) => turnEvents0
+        .withColumn("bucket", bucketOf(col("conv_id"), n))
+        .repartition(n, col("bucket"))
+      case None => turnEvents0
+    }
+    val groupCols = bucketed.map(_ => "bucket").toSeq ++ Seq("conv_id", "turn_idx")
 
     val isUpd = col("op") === "update"
     val anchorOff = when(!isUpd, col("offset"))
@@ -139,7 +162,7 @@ object MergeEngine {
     // payload through the partial-agg exchange twice for nothing —
     // measured as the dominant shuffle bytes of the fold at bench scale.
     turnEvents
-      .groupBy("conv_id", "turn_idx")
+      .groupBy(groupCols.map(col): _*)
       .agg(
         max_by(struct(col("after").as("after"), col("partition").as("part")), col("offset"))
           .as("last"),
@@ -148,6 +171,7 @@ object MergeEngine {
         max_by(col("op"), anchorOff).as("a_op"),
         max(col("wipe_off")).as("wipe_off"))
       .select(
+        (bucketed.map(_ => col("bucket")).toSeq ++ Seq(
         col("conv_id"),
         col("turn_idx"),
         when(col("a_off").isNull && col("wipe_off").isNull, NetAction.UpdateIfExists)
@@ -161,7 +185,7 @@ object MergeEngine {
         // lineage of the winning version (the reference's optional kafka
         // coordinate columns, `.../sink/JdbcSinkConfig.java:52-59`)
         col("last_off").as("src_offset"),
-        col("last.part").as("src_partition"))
+        col("last.part").as("src_partition"))): _*)
   }
 
   /** Fold strategy 2 — "narrow agg + deciding-row fetch". The struct-valued
@@ -175,6 +199,12 @@ object MergeEngine {
     * suites run against both).
     */
   def netActionsViaJoin(events: DataFrame, wipes: DataFrame): DataFrame = {
+    // NOTE: bucket alignment (netActions' `bucketed`) is deliberately NOT
+    // offered here: the deciding-row fetch is a shuffled join, and Spark's
+    // co-partition rule (requireAllClusterKeysForCoPartition, default on)
+    // re-exchanges both sides on the FULL join key even when both are
+    // already partitioned by the bucket — measured as a third payload
+    // crossing, strictly worse than the key-aligned plan below.
     val turnEvents = events
       .filter(col("turn_idx").isNotNull)
       .join(wipes, Seq("conv_id"), "left")

@@ -52,6 +52,38 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Aggregate"), plan.take(1000))
   }
 
+  test("bucket-aligned fold: the payload crosses exactly ONE exchange") {
+    import TestHelpers._
+    val events = eventsDF(spark, Seq(ins(0, "c1", 0, "a"), upd(1, "c1", 0, "b"), ins(2, "c2", 0, "c")))
+    val wipes = broadcast(graft.operators.MergeEngine.seriesWipes(events))
+    val df = graft.operators.MergeEngine.netActions(events, wipes, Some(8))
+    val plan = planOf(df)
+    // the one REPARTITION_BY_NUM exchange onto the bucket key; no
+    // ENSURE_REQUIREMENTS exchange may reappear for the fold agg —
+    // HashPartitioning(bucket) satisfies its ClusteredDistribution
+    // because bucket is one of the grouping keys
+    val shuffles = plan.linesIterator.filter(l =>
+      l.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(shuffles.size == 1, s"expected 1 shuffle, got:\n${shuffles.mkString("\n")}\n${plan.take(3000)}")
+    assert(shuffles.head.contains("REPARTITION_BY_NUM"), shuffles.head)
+    assert(df.columns.contains("bucket"), df.columns.mkString(","))
+  }
+
+  test("bucket-aligned and key-aligned folds produce identical net actions") {
+    import TestHelpers._
+    val evs = Seq(
+      ins(0, "c1", 0, "a"), upd(1, "c1", 0, "b"), del(2, "c1", Some(0)),
+      ins(3, "c2", 1, "x"), upd(4, "c2", 1, "y"), ins(5, "c3", 0, "z"),
+      del(6, "c3", None), ins(7, "c3", 1, "w"), upd(8, "c4", 2, "u"))
+    val events = eventsDF(spark, evs)
+    val wipes = broadcast(graft.operators.MergeEngine.seriesWipes(events))
+    val keyed = graft.operators.MergeEngine.netActions(events, wipes)
+    val bucketed = graft.operators.MergeEngine.netActions(events, wipes, Some(8))
+    val a = keyed.orderBy("conv_id", "turn_idx").collect().map(_.toString).toSeq
+    val b = bucketed.drop("bucket").orderBy("conv_id", "turn_idx").collect().map(_.toString).toSeq
+    assert(a == b, s"key:    $a\nbucket: $b")
+  }
+
   test("IceLite point read scans only the target bucket's files") {
     import TestHelpers._
     val d = tmpDir("planspec") + "/t"
