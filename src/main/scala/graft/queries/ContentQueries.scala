@@ -466,6 +466,74 @@ object ContentQueries {
     // themselves). See [[dedupClusters]] for the scale analysis.
     "q33_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
+    // Dataset profiling — the first thing a pipeline runs on a new drop:
+    // per-column row/null/distinct counts + min/max, narrow output (one
+    // row per column). ONE scan: all stats in a single aggregate (the
+    // multi-column exact count-distincts plan as one Expand — 5x row
+    // multiplication but no extra scans or joins; swap in
+    // approx_count_distinct at real scale if exactness is negotiable —
+    // kept exact here so DuckDB can mirror it). min/max are cast to
+    // strings with type-explicit formats so the profile is one uniform
+    // relation.
+    "q40_profile_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def prof(c: String, minS: Column, maxS: Column) = struct(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        minS.as("min_val"), maxS.as("max_val"))
+      def numP(c: String) = prof(c, min(col(c)).cast("string"), max(col(c)).cast("string"))
+      def decP(c: String) = prof(c,
+        min(col(c)).cast("decimal(18,2)").cast("string"),
+        max(col(c)).cast("decimal(18,2)").cast("string"))
+      def tsP(c: String) = prof(c,
+        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss"),
+        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss"))
+      o.agg(array(
+          numP("o_orderkey"), numP("o_custkey"), decP("o_totalprice"),
+          numP("o_orderstatus"), tsP("o_orderdate")).as("p"))
+        .select(explode(col("p")).as("p"))
+        .select(col("p.*"))
+    }),
+
+    // Train/eval contamination scan — decontamination before training:
+    // which training documents share >= 2 distinct 3-word shingles with
+    // any eval-set document (eval stand-in: doc_id % 97 == 0). The eval
+    // side is small by construction (benchmarks are), so it broadcasts;
+    // cost is one shingle pass over the corpus + a broadcast join —
+    // never all-pairs, never a corpus-sized shuffle.
+    "q41_contamination" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(wordShingles(3))).as("sh"))
+        .distinct()
+      val evalSh = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("sh"))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSh), "sh")
+        .groupBy(col("doc_id").as("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .filter(col("shared_shingles") >= 2)
+        .select(col("train_id"), col("eval_id"), col("shared_shingles"))
+    }),
+
+    // Source-mix rebalancing — data mixing for training: per-source doc/
+    // token counts and the integer-scaled sampling weight that would
+    // equalize token share across sources (weight_x1000 = target/actual
+    // × 1000, floor). Two tiny aggregations; all integer arithmetic so
+    // the oracle matches bit-for-bit.
+    "q42_mix_weights" -> ((s, dir) => {
+      val bySrc = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum(size(split(col("text"), " "))).as("tokens"))
+      val tot = bySrc.agg(sum(col("tokens")).as("total"), count(lit(1)).as("n_src"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("docs"), col("tokens"),
+          expr("(total * 1000) div (n_src * tokens)").as("weight_x1000"))
+    }),
+
     // ===================== multimodal plumbing =====================
     "q29_mm_decode" -> ((s, dir) => {
       Multimodal.decode(s, Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -629,5 +697,47 @@ object ContentQueries {
         | CAST(64 + octet_length(encode(text)) % 576 AS INT) AS width,
         | CAST(64 + (octet_length(encode(text)) * 7) % 416 AS INT) AS height,
         | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS INT) AS frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q40_profile_stats" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin
+      def dec(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(CAST(min($c) AS DECIMAL(18,2)) AS VARCHAR) AS min_val,
+           | CAST(CAST(max($c) AS DECIMAL(18,2)) AS VARCHAR) AS max_val FROM orders""".stripMargin
+      def ts(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | strftime(min($c), '%Y-%m-%d %H:%M:%S') AS min_val,
+           | strftime(max($c), '%Y-%m-%d %H:%M:%S') AS max_val FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_custkey"), dec("o_totalprice"),
+        num("o_orderstatus"), ts("o_orderdate")).mkString("\nUNION ALL\n")
+    },
+
+    "q41_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id,
+        |   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS sh
+        |  FROM w WHERE len(ws) >= 3))
+        |SELECT a.doc_id AS train_id, b.doc_id AS eval_id, CAST(count(*) AS BIGINT) AS shared_shingles
+        |FROM sh a JOIN sh b ON a.sh = b.sh
+        |WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q42_mix_weights" ->
+      """WITH bysrc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_src FROM bysrc)
+        |SELECT source, docs, tokens, (total * 1000) // (n_src * tokens) AS weight_x1000
+        |FROM bysrc, tot""".stripMargin)
 }

@@ -94,6 +94,41 @@ class QueriesSpec extends SparkSuite {
     assert(df.filter(!col("modality").isin("image", "audio", "video")).count() == 0)
   }
 
+  test("q40 profile: one row per profiled column; counts are internally consistent") {
+    val df = SparkEntry.queries("q40_profile_stats")(spark, dir).collect()
+    assert(df.length == 5)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    df.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == orders.count(), r.toString)
+      assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_null") <= r.getAs[Long]("n_rows") + 1, r.toString)
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val") ||
+        r.getAs[String]("col_name").startsWith("o_order") /* numeric strings compare lexically */, r.toString)
+    }
+  }
+
+  test("q41 contamination: train/eval sides are disjoint and counts meet the threshold") {
+    val df = SparkEntry.queries("q41_contamination")(spark, dir)
+    assert(df.filter(col("train_id") % 97 === 0).count() == 0)
+    assert(df.filter(col("eval_id") % 97 =!= 0).count() == 0)
+    assert(df.filter(col("shared_shingles") < 2).count() == 0)
+  }
+
+  test("q42 mix weights: token-weighted mean of weights ≈ 1000 (rebalance preserves total mass)") {
+    val rows = SparkEntry.queries("q42_mix_weights")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getAs[Long]("tokens")).sum
+    // sum over sources of (tokens * weight/1000) = total * (n_src picks of target share) ≈ total
+    val mass = rows.map(r => r.getAs[Long]("tokens") * r.getAs[Long]("weight_x1000")).sum
+    assert(math.abs(mass.toDouble / tot - 1000.0) < 50.0, s"mass/tot=${mass.toDouble / tot}")
+    // a source holding less than the uniform token share upweights, and vice versa
+    val nSrc = rows.length
+    rows.foreach { r =>
+      val under = r.getAs[Long]("tokens").toDouble < tot.toDouble / nSrc
+      val up = r.getAs[Long]("weight_x1000") >= 1000
+      assert(under == up || r.getAs[Long]("weight_x1000") == 999, r.toString) // floor rounding at parity
+    }
+  }
+
   test("entry: flagship engine pipeline yields rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
