@@ -120,8 +120,13 @@ object Bench {
       (0 until numBatches).map { b =>
         val before = agg.get()
         val tb = System.nanoTime()
+        // GRAFT_FOLD_ALIGN=bucket A/Bs the single-exchange fold plan
+        // back-to-back in the same host window (the only reliable
+        // comparison method on this VM — see BENCH/BASELINE.md)
         CdcApply.applyBatch(spark, table, log.filter(col("chunk") === b).drop("chunk"),
-          spec = if (spec == null) graft.model.MergeSpec(numBuckets = buckets) else spec,
+          spec = if (spec == null) graft.model.MergeSpec(numBuckets = buckets,
+            foldAlignment = sys.env.getOrElse("GRAFT_FOLD_ALIGN",
+              graft.model.MergeSpec().foldAlignment)) else spec,
           epoch = Some(("bench", b.toLong)))
         val w = (System.nanoTime() - tb) / 1e9
         Thread.sleep(300) // listener bus drain (diagnostic only, untimed)

@@ -120,26 +120,33 @@ final case class MergeSpec(
       * pays a second batch scan, a join and a distinct — measured slower;
       * kept as the escape hatch for payloads far wider than these) */
     foldStrategy: String = "agg",
-    /** which key the fold's ONE payload exchange targets (MOR path only).
+    /** which key the fold's payload exchange targets (MOR path only).
       *
-      * "bucket" (default): the batch is exchanged once onto the table's
-      * bucket key before the fold; the fold groups on (bucket, key)
-      * partition-locally and its output is already laid out for the
-      * per-bucket delta write — the payload crosses the wire exactly
-      * ONCE per epoch.
+      * "key" (default): the fold exchanges on the upsert key and the
+      * delta write redistributes by bucket (AQE rebalance) — two payload
+      * crossings, but every stage is narrow and AQE sizes the tasks.
+      * Measured FASTER on a single socket: in interleaved same-window
+      * A/Bs at local[32] "key" won every round (best 18.6s vs 35.9s for
+      * "bucket" on the 24M-event replay; local[8] statistically even —
+      * `BENCH/round4-runs.log`). The sandbox's shuffle is tmpfs (memcpy),
+      * so eliminating an exchange buys ~nothing here, while the
+      * bucket-pure alternative fuses exchange-read + sort + fold +
+      * parquet encode into ≤numBuckets fat tasks whose stage tail
+      * dominates once cores ≈ buckets/4.
       *
-      * "key": the fold exchanges on the upsert key and the delta write
-      * redistributes by bucket — the payload crosses TWICE, but map-side
-      * partial aggregation collapses duplicates before the first
-      * crossing. Prefer it only when re-delivery duplication is high
-      * (roughly >2 deliveries/event on average); at ordinary duplication
-      * the bucket alignment halves the fold's shuffle bytes (the
-      * dominant memory traffic of the replay at every core count).
+      * "bucket": the batch is exchanged once onto the table's bucket
+      * key; the fold groups on (bucket, key) partition-locally and its
+      * output is already laid out for the per-bucket delta write — ONE
+      * payload crossing per epoch (PlanSpec pins the single-exchange
+      * plan). The right alignment when shuffle crosses a real network
+      * and numBuckets ≫ total cores (a 100 TB deployment: thousands of
+      * buckets, each fold task still small): it halves cross-node
+      * payload traffic per epoch.
       *
       * Applies to foldStrategy="agg" on the MOR path; the "join" fold
-      * keeps key alignment (its shuffled fetch join re-exchanges on the
+      * always key-aligns (its shuffled fetch join re-exchanges on the
       * full join key regardless — see netActionsViaJoin). */
-    foldAlignment: String = "bucket",
+    foldAlignment: String = "key",
     /** how a batch's net actions reach the table.
       *
       * "cow" = copy-on-write: every affected bucket is rewritten per

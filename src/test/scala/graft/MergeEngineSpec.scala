@@ -170,7 +170,7 @@ object TestHelpers {
     MergeSpec(mergeStrategy = "mor"),
     // aggressive compaction: exercise the delta→base fold mid-replay
     MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1),
-    // key-aligned fold: the pre-round-4 two-exchange plan stays oracle-true
-    MergeSpec(mergeStrategy = "mor", foldAlignment = "key"),
+    // bucket-aligned fold: the single-exchange plan stays oracle-true
+    MergeSpec(mergeStrategy = "mor", foldAlignment = "bucket"),
     MergeSpec(mergeStrategy = "cow"))
 }
