@@ -534,6 +534,51 @@ object ContentQueries {
           expr("(total * 1000) div (n_src * tokens)").as("weight_x1000"))
     }),
 
+    // Distribution profiling — discrete quantiles (p25/p50/p75/p95) of
+    // document length per language, computed as pure order statistics
+    // over the VALUE DOMAIN: group to (lang, n_chars) counts, one
+    // bounded-stratum window for the running total, pick the smallest
+    // value whose cumulative count crosses each quantile rank. All
+    // integer arithmetic (exact oracle parity, no interpolation); state
+    // is O(distinct lengths per lang), not O(rows) — the scale-safe way
+    // to get exact quantiles on a bounded value domain (for unbounded
+    // domains swap in approx_percentile and accept the sketch).
+    "q43_profile_quantiles" -> ((s, dir) => {
+      val c = t(s, dir, "documents").groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy("n_chars")
+      val tt = c.withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+      tt.groupBy("lang").agg(
+        min(col("n_chars")).as("lo"),
+        min(when(col("cum") * 4 >= col("n"), col("n_chars"))).as("p25"),
+        min(when(col("cum") * 2 >= col("n"), col("n_chars"))).as("p50"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("n_chars"))).as("p75"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("n_chars"))).as("p95"),
+        max(col("n_chars")).as("hi"))
+    }),
+
+    // Training manifest — the capstone materialization a curation
+    // pipeline ships: quality floor (>= 30 whitespace tokens), near-dup
+    // drop set (q21's confirmed pairs, shared candidate pipeline),
+    // embedding presence (inner join to the vector table), and a
+    // deterministic md5-derived shard assignment for the trainer's
+    // readers. Each leg reuses a scale-audited operator; the manifest
+    // itself is two joins + a filter.
+    "q44_train_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .filter(col("n_words") >= 30)
+      val drop = jaccardPairs(s, dir).select(col("idb").as("doc_id")).distinct()
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("doc_id"))
+      val shard = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(16)).cast("int")
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .join(emb, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+          shard.as("shard"))
+    }),
+
     // ===================== multimodal plumbing =====================
     "q29_mm_decode" -> ((s, dir) => {
       Multimodal.decode(s, Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -731,6 +776,30 @@ object ContentQueries {
         |FROM sh a JOIN sh b ON a.sh = b.sh
         |WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q43_profile_quantiles" ->
+      """WITH c AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, n_chars, sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |             sum(cnt) OVER (PARTITION BY lang) AS n FROM c)
+        |SELECT lang,
+        | min(n_chars) AS lo,
+        | min(CASE WHEN cum * 4 >= n THEN n_chars END) AS p25,
+        | min(CASE WHEN cum * 2 >= n THEN n_chars END) AS p50,
+        | min(CASE WHEN cum * 4 >= n * 3 THEN n_chars END) AS p75,
+        | min(CASE WHEN cum * 20 >= n * 19 THEN n_chars END) AS p95,
+        | max(n_chars) AS hi
+        |FROM t GROUP BY lang""".stripMargin,
+
+    "q44_train_manifest" ->
+      s"""WITH pairs AS (
+         |$jaccardOracle)
+         |SELECT d.doc_id, d.lang, d.source,
+         | CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+         | CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) AS shard
+         |FROM documents d
+         |JOIN embeddings e ON e.vec_id = d.doc_id
+         |WHERE len(string_split(d.text, ' ')) >= 30
+         |  AND d.doc_id NOT IN (SELECT idb FROM pairs)""".stripMargin,
 
     "q42_mix_weights" ->
       """WITH bysrc AS (

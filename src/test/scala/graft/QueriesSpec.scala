@@ -129,6 +129,30 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q43 quantiles: monotone per language and bounded by lo/hi") {
+    val rows = SparkEntry.queries("q43_profile_quantiles")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vals = Seq("lo", "p25", "p50", "p75", "p95", "hi").map(r.getAs[Long](_))
+      assert(vals == vals.sorted, r.toString)
+    }
+  }
+
+  test("q44 manifest: quality floor, dedup drop set, embedding presence, shard range all hold") {
+    val m = SparkEntry.queries("q44_train_manifest")(spark, dir)
+    assert(m.count() > 0)
+    assert(m.filter(col("n_words") < 30).count() == 0)
+    assert(m.filter(col("shard") < 0 || col("shard") > 15).count() == 0)
+    // nothing in the manifest is a dropped duplicate
+    val dropped = SparkEntry.queries("q21_dedup_ngram_jaccard")(spark, dir)
+      .select(col("idb").as("doc_id")).distinct()
+    assert(m.join(dropped, "doc_id").count() == 0)
+    // every manifest row has a vector
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"))
+    assert(m.join(emb, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   test("entry: flagship engine pipeline yields rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
