@@ -209,8 +209,17 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); results(name) = (System.nanoTime() - t0) / 1e9 }
+      // best-of-2 per query: a single contended host window otherwise
+      // masquerades as a query regression (measured 4x on q01 in one
+      // driver-protocol run whose replay phase was clean)
+      try {
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        results(name) = samples.min
+      }
       catch { case e: Throwable =>
         // a crashed query must not masquerade as a fast one
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

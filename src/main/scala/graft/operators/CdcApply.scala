@@ -79,6 +79,15 @@ object CdcApply {
       epoch: Option[(String, Long)] = None,
       rejectedDir: Option[String] = None): BatchResult = {
 
+    // enum-valued spec fields fail loudly on a typo (a misspelled value
+    // would otherwise silently select the fallback plan)
+    require(Set("mor", "cow")(spec.mergeStrategy),
+      s"mergeStrategy must be 'mor' or 'cow', got '${spec.mergeStrategy}'")
+    require(Set("agg", "join")(spec.foldStrategy),
+      s"foldStrategy must be 'agg' or 'join', got '${spec.foldStrategy}'")
+    require(Set("key", "bucket")(spec.foldAlignment),
+      s"foldAlignment must be 'key' or 'bucket', got '${spec.foldAlignment}'")
+
     val events0 = renamePayload(extractPayloadFields(events, spec), spec)
 
     val snap0 = table.current

@@ -12,6 +12,19 @@ import graft.table.IceLite
 class SpecFlagsSpec extends SparkSuite {
   import TestHelpers._
 
+  test("misspelled enum spec values are rejected loudly, not silently defaulted") {
+    val dir = tmpDir("specenum") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val evs = eventsDF(spark, Seq(ins(0, "c1", 0, "v0")))
+    for (bad <- Seq(
+      MergeSpec(mergeStrategy = "merge-on-read"),
+      MergeSpec(foldStrategy = "aggregate"),
+      MergeSpec(foldAlignment = "buckets"))) {
+      val e = intercept[IllegalArgumentException](CdcApply.applyBatch(spark, t, evs, spec = bad))
+      assert(e.getMessage.contains("must be"), e.getMessage)
+    }
+  }
+
   test("delete.enabled=false: tombstones quarantined, rest of batch applies") {
     val dir = tmpDir("nodelete") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)
