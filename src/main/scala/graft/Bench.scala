@@ -211,14 +211,26 @@ object Bench {
       .foreach { case (name, fn) =>
       // best-of-2 per query: a single contended host window otherwise
       // masquerades as a query regression (measured 4x on q01 in one
-      // driver-protocol run whose replay phase was clean)
+      // driver-protocol run whose replay phase was clean). EXCEPT for
+      // queries that build the session-memoized dedup pipeline (q19,
+      // q44): their second sample would read the persisted result, and
+      // min() would report cache-read time as the build cost — those
+      // keep their first (building) sample.
       try {
-        val samples = (1 to 2).map { _ =>
+        val memoBefore = graft.queries.ContentQueries.sharedCount(spark)
+        val first = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        results(name) = samples.min
+        val builtMemo = graft.queries.ContentQueries.sharedCount(spark) > memoBefore
+        results(name) =
+          if (builtMemo) first
+          else {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            math.min(first, (System.nanoTime() - t0) / 1e9)
+          }
       }
       catch { case e: Throwable =>
         // a crashed query must not masquerade as a fast one

@@ -59,22 +59,42 @@ object ScalingBench {
     Files.createDirectories(Paths.get(benchDir))
     // the tsv keeps the CAMPAIGN BEST per level (min wall across JVM
     // launches — the documented estimator on this noisy-neighbor VM); a
-    // worse re-run never degrades the recorded evidence
-    val tsv = Paths.get(s"$benchDir/scaling-$cores.tsv")
-    val keepSec =
-      if (Files.exists(tsv)) {
-        val f = Files.readString(tsv).trim.split("\t")
-        if (f(1).toLong == nEvents && f(2).toDouble < sec) f(2).toDouble else sec
-      } else sec
-    Files.writeString(tsv, f"$cores\t$nEvents\t$keepSec%.2f\t${nEvents / keepSec}%.1f\n")
-
-    val runs = Seq(2, 8, 32).flatMap { c =>
-      val p = Paths.get(s"$benchDir/scaling-$c.tsv")
-      if (Files.exists(p)) {
-        val f = Files.readString(p).trim.split("\t")
-        Some((f(0).toInt, f(1).toLong, f(2).toDouble, f(3).toDouble))
-      } else None
+    // worse re-run never degrades the recorded evidence. The record is
+    // keyed on the ENGINE CONFIG too: an A/B run (GRAFT_FOLD_ALIGN etc.)
+    // must never min-merge into the shipping config's record, or the
+    // published efficiency would mix fold plans.
+    val cfg = Seq(
+      sys.env.getOrElse("GRAFT_FOLD_ALIGN", graft.model.MergeSpec().foldAlignment),
+      sys.env.getOrElse("GRAFT_MIN_PART", "64k")).mkString("+")
+    val defaultCfg = Seq(graft.model.MergeSpec().foldAlignment, "64k").mkString("+")
+    if (cfg != defaultCfg || nEvents != 24000000L) {
+      // A/B and off-protocol runs are diagnostics: print-only, never
+      // written into the protocol record (they'd overwrite or min-merge
+      // a different engine config into the published evidence)
+      println(s"[scaling] off-protocol run (cfg=$cfg events=$nEvents) — not recorded in BENCH/")
+      return
     }
+    // (cores, nEvents, sec, evps, cfg); None if absent or unparseable
+    def readTsv(c: Int): Option[(Int, Long, Double, Double, String)] = {
+      val p = Paths.get(s"$benchDir/scaling-$c.tsv")
+      if (!Files.exists(p)) None
+      else scala.util.Try {
+        val f = Files.readString(p).trim.split("\t")
+        (f(0).toInt, f(1).toLong, f(2).toDouble, f(3).toDouble,
+          if (f.length > 4) f(4) else "key+64k")
+      }.toOption
+    }
+    val keepSec = readTsv(cores) match {
+      case Some((_, n0, s0, _, c0)) if n0 == nEvents && c0 == cfg && s0 < sec => s0
+      case _ => sec
+    }
+    Files.writeString(Paths.get(s"$benchDir/scaling-$cores.tsv"),
+      f"$cores\t$nEvents\t$keepSec%.2f\t${nEvents / keepSec}%.1f\t$cfg\n")
+
+    val runs = Seq(2, 8, 32).flatMap(readTsv)
+      // comparable records only: same event count and same engine config
+      .filter { case (_, n, _, _, c) => n == nEvents && c == cfg }
+      .map { case (c, n, s, e, _) => (c, n, s, e) }
     if (runs.size >= 2) {
       val byCores = runs.map(r => r._1 -> r).toMap
       val n0 = runs.head._2

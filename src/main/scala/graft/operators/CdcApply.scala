@@ -221,7 +221,7 @@ object CdcApply {
             if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
             else MergeEngine.netActionsViaJoin(valid, wipes)
           applyMor(spark, table, snap0, normalize(actions), wipes, evolved, epoch, planF,
-            writeQuarantine)
+            writeQuarantine, preAligned = aligned.isDefined)
         case _ =>
           val lineage = planAgg(withBuckets = true)
           val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
@@ -297,7 +297,8 @@ object CdcApply {
       evolved: StructType,
       epoch: Option[(String, Long)],
       lineageF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
-      quarantine: Long => Unit): BatchResult = {
+      quarantine: Long => Unit,
+      preAligned: Boolean): BatchResult = {
 
     // single-writer sequence: rows are stamped before the commit, so a
     // racing writer (which would steal this version) aborts the commit
@@ -309,13 +310,12 @@ object CdcApply {
       lit(NetAction.Wipe).as("action"),
       lit(null).cast(evolved).as("row"))
       .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
-    // Bucket-aligned actions (MergeSpec.foldAlignment="bucket") arrive
-    // already exchanged + grouped on the bucket key: write them AS IS —
-    // each task holds exactly one bucket, so partitionBy emits one delta
-    // file per touched bucket with no further exchange. Key-aligned
-    // actions need the write-side redistribution (AQE rebalance: hot
-    // buckets split, cold coalesce).
-    val preAligned = normActions.columns.contains("bucket")
+    // Bucket-aligned actions (MergeSpec.foldAlignment="bucket", flagged
+    // explicitly by the caller) arrive already exchanged + grouped on
+    // the bucket key: write them AS IS — each task holds exactly one
+    // bucket, so partitionBy emits one delta file per touched bucket
+    // with no further exchange. Key-aligned actions need the write-side
+    // redistribution (AQE rebalance: hot buckets split, cold coalesce).
     val actionRows =
       if (preAligned)
         normActions.select(col("bucket"), col("conv_id"), col("turn_idx"), col("action"), col("row"))

@@ -42,6 +42,15 @@ object ContentQueries {
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Number of memoized pipeline entries this session currently holds.
+    * Bench compares it before/after a query's first timing sample: a
+    * query that CREATED an entry (q19, q44) was measured building the
+    * shared pipeline — a second sample would read the persisted result
+    * and a best-of-N min would report cache-read time as the query's
+    * cost.
+    */
+  def sharedCount(s: SparkSession): Int = shared.count { case ((sess, _, _), _) => sess eq s }
+
   /** Unpersist and drop this session's memoized pipeline results. Bench
     * calls this between its query phase and its replay phase so
     * query-phase cache blocks don't occupy executor memory while the

@@ -101,8 +101,12 @@ class QueriesSpec extends SparkSuite {
     df.foreach { r =>
       assert(r.getAs[Long]("n_rows") == orders.count(), r.toString)
       assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_null") <= r.getAs[Long]("n_rows") + 1, r.toString)
-      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val") ||
-        r.getAs[String]("col_name").startsWith("o_order") /* numeric strings compare lexically */, r.toString)
+      // numeric columns compare as numbers (a lexical compare of "857.7"
+      // vs "555285.1" would be data-dependent), the rest lexically
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      val (lo, hi) = (r.getAs[String]("min_val"), r.getAs[String]("max_val"))
+      if (numeric(r.getAs[String]("col_name"))) assert(lo.toDouble <= hi.toDouble, r.toString)
+      else assert(lo <= hi, r.toString)
     }
   }
 
@@ -120,12 +124,14 @@ class QueriesSpec extends SparkSuite {
     // sum over sources of (tokens * weight/1000) = total * (n_src picks of target share) ≈ total
     val mass = rows.map(r => r.getAs[Long]("tokens") * r.getAs[Long]("weight_x1000")).sum
     assert(math.abs(mass.toDouble / tot - 1000.0) < 50.0, s"mass/tot=${mass.toDouble / tot}")
-    // a source holding less than the uniform token share upweights, and vice versa
+    // a source holding at most the uniform token share upweights (>=1000),
+    // one above it downweights (<1000) — exact integer statement, no
+    // parity special case: tokens*nSrc == tot gives exactly weight 1000
     val nSrc = rows.length
     rows.foreach { r =>
-      val under = r.getAs[Long]("tokens").toDouble < tot.toDouble / nSrc
+      val atOrBelowTarget = r.getAs[Long]("tokens") * nSrc <= tot
       val up = r.getAs[Long]("weight_x1000") >= 1000
-      assert(under == up || r.getAs[Long]("weight_x1000") == 999, r.toString) // floor rounding at parity
+      assert(atOrBelowTarget == up, r.toString)
     }
   }
 
