@@ -111,6 +111,12 @@ final case class MergeSpec(
     numBuckets: Int = 32,
     writeSalts: Int = 0,
     deleteEnabled: Boolean = true,
+    /** Reference `auto.evolve` (`.../sink/JdbcSinkConfig.java:145-150`):
+      * when false, a batch whose records would require an ALTER-ADD /
+      * type-widen fails loudly instead of evolving the table — the
+      * reference's DbStructure.amendIfNecessary throws rather than
+      * amending. Type-compatibility violations reject either way. */
+    autoEvolve: Boolean = true,
     coordinates: Boolean = false,
     /** per-key fold plan: "agg" (default) = single struct-valued
       * aggregation (plans as SortAggregate — struct buffers cannot hash

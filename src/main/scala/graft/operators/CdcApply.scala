@@ -113,6 +113,14 @@ object CdcApply {
       case Right(s) => s
       case Left(reason) => throw new IllegalArgumentException(s"schema rejected: $reason")
     }
+    // reference `auto.evolve=false` (JdbcSinkConfig.java:145-150 +
+    // DbStructure.amendIfNecessary): a batch whose records need an
+    // ALTER-ADD fails the task instead of evolving the table
+    if (!spec.autoEvolve && evolved0 != tableSchema0)
+      throw new IllegalStateException(
+        "auto.evolve=false: batch requires schema evolution (" +
+          evolved0.fieldNames.diff(tableSchema0.fieldNames).mkString(", ") +
+          ") — rejected, table schema unchanged")
     // kafka-coordinate lineage columns (reference `coordinates.enabled`)
     val evolved =
       if (!spec.coordinates) evolved0

@@ -136,6 +136,13 @@ object CdcStream {
         * restart). "pinned": envelope schema fixed at stream start — no
         * per-epoch re-resolution cost; drift columns wait for a restart. */
       schemaMode: String = "drift",
+      /** Reference `auto.create` (`.../sink/JdbcSinkConfig.java:138-143`):
+        * when false, a table that does not already exist fails the stream
+        * instead of being created from the incoming schema — the
+        * reference's DbStructure.createOrAmendIfNecessary throws when the
+        * table is missing and auto-creation is off. Applies to the state
+        * table, the event-log table, and every routed per-topic table. */
+      autoCreate: Boolean = true,
       /** multi-table topic routing; None = single-table (tableDir). */
       routing: Option[Routing] = None,
       /** Automatic metadata maintenance: every this many epochs, expire
@@ -175,7 +182,8 @@ object CdcStream {
   def start(spark: SparkSession, cfg: StreamConfig): StreamingQuery = {
     val table: Option[IceLiteTable] =
       if (cfg.routing.isDefined) None // routed tables are created on first sight of their topic
-      else Some(loadOrCreate(cfg.tableDir, renamedSchema(Schemas.transcript, cfg.spec), cfg.spec))
+      else Some(loadOrCreate(cfg.tableDir, renamedSchema(Schemas.transcript, cfg.spec), cfg.spec,
+        autoCreate = cfg.autoCreate))
     if (cfg.downstreamMirrors.nonEmpty || cfg.downstreamViews.nonEmpty ||
         cfg.downstreamHistories.nonEmpty) {
       require(table.isDefined, "downstream mirrors/views/histories require a single-table stream")
@@ -193,7 +201,7 @@ object CdcStream {
     val routedTables = scala.collection.concurrent.TrieMap.empty[String, IceLiteTable]
     val logTable: Option[IceLiteTable] = cfg.eventLogTableDir.map { d =>
       loadOrCreate(d, graft.operators.EventLogApply.logSchema(Schemas.transcript), cfg.spec,
-        logTable = true)
+        logTable = true, autoCreate = cfg.autoCreate)
     }
 
     // the pinned source schema; routing adds the topic column (in drift
@@ -320,7 +328,7 @@ object CdcStream {
                   // payload field before evolution)
                   val tbl = routedTables.getOrElseUpdate(dir, loadOrCreate(dir,
                     renamedSchema(slice.schema("after").dataType.asInstanceOf[StructType], cfg.spec),
-                    cfg.spec))
+                    cfg.spec, autoCreate = cfg.autoCreate))
                   CdcApply.applyBatch(
                     spark, tbl, slice, cfg.spec,
                     epoch = Some((cfg.streamId, epochId)),
@@ -467,8 +475,11 @@ object CdcStream {
 
   private def loadOrCreate(
       dir: String, schema: StructType, spec: MergeSpec,
-      logTable: Boolean = false): IceLiteTable =
+      logTable: Boolean = false, autoCreate: Boolean = true): IceLiteTable =
     if (IceLite.exists(dir)) IceLite.load(dir)
+    else if (!autoCreate)
+      throw new IllegalStateException(
+        s"auto.create=false: table at '$dir' does not exist — create it explicitly or enable autoCreate")
     else IceLite.create(dir, schema, spec.numBuckets)
 
   /** Re-read the epoch's files as a fresh batch scan with footer-merged

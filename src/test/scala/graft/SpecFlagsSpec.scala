@@ -12,6 +12,25 @@ import graft.table.IceLite
 class SpecFlagsSpec extends SparkSuite {
   import TestHelpers._
 
+  test("auto.evolve=false: a drift batch fails loudly; the table schema stays unchanged") {
+    val dir = tmpDir("noevolve") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    // baseline batch with the table schema applies fine
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0, "c1", 0, "v0"))),
+      spec = MergeSpec(autoEvolve = false))
+    // drift batch: extra nullable column in the after-struct
+    val drifted = eventsDF(spark, Seq(ins(1, "c2", 0, "v1")))
+      .withColumn("after", struct(col("after.*"),
+        when(col("conv_id").isNotNull, lit("x")).as("extra_col"))) // nullable drift column
+    val e = intercept[IllegalStateException](
+      CdcApply.applyBatch(spark, t, drifted, spec = MergeSpec(autoEvolve = false)))
+    assert(e.getMessage.contains("auto.evolve=false") && e.getMessage.contains("extra_col"), e.getMessage)
+    assert(!t.current.schemaJson.contains("extra_col"))
+    // same batch with the default evolves as before
+    CdcApply.applyBatch(spark, t, drifted, spec = MergeSpec())
+    assert(t.current.schemaJson.contains("extra_col"))
+  }
+
   test("misspelled enum spec values are rejected loudly, not silently defaulted") {
     val dir = tmpDir("specenum") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)

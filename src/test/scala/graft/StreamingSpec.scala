@@ -38,6 +38,21 @@ class StreamingSpec extends SparkSuite {
       assert(stateTriples(table) == oracleTriples(evs))
     }
 
+  test("auto.create=false: a missing state table fails the stream; a pre-created one streams fine") {
+    val root = tmpDir("stream-nocreate")
+    val cfg = ChangeLogGen.GenConfig(numEvents = 500, numConvs = 10, maxTurns = 5, logPartitions = 2)
+    ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 1)
+    val sc = CdcStream.StreamConfig(s"$root/log", s"$root/table", s"$root/ckpt", autoCreate = false)
+    val e = intercept[Exception](CdcStream.runAvailable(spark, sc))
+    def root0(t: Throwable): Throwable = if (t.getCause == null) t else root0(t.getCause)
+    assert(root0(e).getMessage.contains("auto.create=false"), root0(e).getMessage)
+    // pre-create the table: the same config now streams to completion
+    graft.table.IceLite.create(s"$root/table2", graft.model.Schemas.transcript, 8)
+    val table = CdcStream.runAvailable(spark,
+      sc.copy(tableDir = s"$root/table2", checkpointDir = s"$root/ckpt2"))
+    assert(stateTriples(table) == oracleTriples(collectLog(spark.read.parquet(s"$root/log"))))
+  }
+
   test("resume from checkpoint: new log files processed, old ones not re-read") {
     val root = tmpDir("stream-resume")
     val cfg = ChangeLogGen.GenConfig(numEvents = 2000, numConvs = 30, maxTurns = 8, logPartitions = 2)
