@@ -159,9 +159,6 @@ object Bench {
     ms
   }
 
-  private lazy val memProbeA = new Array[Long](16 << 20) // 128 MB
-  private lazy val memProbeB = new Array[Long](16 << 20)
-
   /** Memory-bandwidth probe (single-thread triad over 2x128MB, GB/s).
     * The CPU spin probe misses the noise that actually moves this
     * workload: neighbor VMs saturating the socket's memory bandwidth
@@ -171,7 +168,11 @@ object Bench {
     * the bandwidth was contended during the bracketed phase.
     */
   def memProbeGBs(): Double = {
-    val a = memProbeA; val b = memProbeB
+    // allocated per call (first pass pays the page faults; best-of-3
+    // discards it): object-pinned arrays would hold 256 MB of the fixed
+    // driver heap through every measured phase for a millisecond probe
+    val a = new Array[Long](16 << 20) // 128 MB
+    val b = new Array[Long](16 << 20)
     var best = 0.0
     var pass = 0
     while (pass < 3) {

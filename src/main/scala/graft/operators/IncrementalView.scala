@@ -57,6 +57,8 @@ object IncrementalView {
     */
   final case class ViewSpec(
       dims: Seq[(String, Column)],
+      /** summed measures; a NULL measure value contributes 0 (the
+        * incrementally-maintainable definition — see [[aggregate]]) */
       sums: Seq[(String, Column)] = Seq.empty) {
     require(dims.nonEmpty, "a view needs at least one group dimension")
     private[operators] def measureNames: Seq[String] = "cnt" +: sums.map(_._1)
@@ -83,8 +85,15 @@ object IncrementalView {
 
   /** Full aggregate of `rows` under `spec` (bootstrap / oracle shape). */
   private def aggregate(rows: DataFrame, spec: ViewSpec): DataFrame = {
+    // Measure semantics: a NULL measure value contributes 0 — the
+    // incrementally-maintainable definition. Plain sum() would yield a
+    // NULL group delta for an all-NULL change set, and NULL + stored
+    // sum is NULL: a single null-measured insert would silently wipe an
+    // existing group's sum on the incremental path while a recompute
+    // kept it. Coalescing INSIDE the aggregate makes bootstrap, delta,
+    // and recompute agree exactly (all-NULL groups read 0, not NULL).
     val aggs = count(lit(1)).as("cnt") +:
-      spec.sums.map { case (n, c) => sum(c).as(n) }
+      spec.sums.map { case (n, c) => sum(coalesce(c, lit(0L))).as(n) }
     rows.groupBy(spec.dims.map { case (n, c) => c.as(n) }: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -110,7 +119,11 @@ object IncrementalView {
       spec: ViewSpec,
       fromVersion: Long,
       toVersion: Long): DataFrame = {
-    val feed = ChangeFeed.read(spark, source, fromVersion, toVersion)
+    // the feed is consumed three times (touched-conv distinct, bucket
+    // collect, the fold): a lazy local checkpoint materializes its delta
+    // scan + wipe-expansion ONCE per refresh (reclaimed by the
+    // ContextCleaner; reliable checkpoint on a lossy cluster, same shape)
+    val feed = ChangeFeed.read(spark, source, fromVersion, toVersion).localCheckpoint(false)
     val convs = feed.select("conv_id").distinct()
     // touched buckets: driver-side, bounded by numBuckets
     val bk = feed.select(graft.table.IceLite.bucketOf(col("conv_id"), source.numBuckets).as("b"))

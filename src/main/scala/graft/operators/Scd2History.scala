@@ -176,7 +176,10 @@ object Scd2History {
       sch: StructType,
       from: Long,
       to: Long): DataFrame = {
-    val feed = ChangeFeed.read(spark, source, from, to)
+    // consumed up to four times (row actions fold, wipe set + its bucket
+    // collect, touched-key collect): one lazy local checkpoint
+    // materializes the range's delta scan instead of four re-reads
+    val feed = ChangeFeed.read(spark, source, from, to).localCheckpoint(false)
 
     // ---- per-key action stream -------------------------------------
     // ordering within a key: (commit version, sub) with the key's open
@@ -270,9 +273,8 @@ object Scd2History {
         coalesce(last(when(isAnchor, anchorKind), ignoreNulls = true).over(wPrev) === "put",
           lit(false)))
 
-    // candidate openings (Put; matched UpdateIfExists) and effective
-    // deletes; a candidate whose payload equals the currently-open
-    // version's is suppressed (no snapshot diff ⇒ no version)
+    // per-ACTION post-state (candidate openings: Put and matched
+    // UpdateIfExists; effective deletes)
     val s2 = s1
       .withColumn("cand_open",
         col("action").isin(NetAction.Put, "init") ||
@@ -281,19 +283,42 @@ object Scd2History {
       .withColumn("state_ev",
         when(col("cand_open"), struct(lit(true).as("open"), col("row").as("r")))
           .when(col("eff_del"), struct(lit(false).as("open"), lit(null).cast(sch).as("r"))))
-      .withColumn("prev_state", last(col("state_ev"), ignoreNulls = true).over(wPrev))
-    val suppressed = col("cand_open") && col("prev_state").isNotNull &&
-      col("prev_state.open") && (col("prev_state.r") <=> col("row"))
 
-    // effective rows only; each row's version closes the previous open
-    // interval, openings start a new one
-    val s3 = s2
-      .withColumn("opening", col("cand_open") && !suppressed)
-      .filter(col("opening") || col("eff_del"))
-      .withColumn("next_v", lead(col("v"), 1).over(wOrd))
+    // ---- collapse to the per-COMMIT end state ------------------------
+    // Version boundaries are SNAPSHOT boundaries: the actions of one
+    // commit (wipe-expanded Del at sub 1, the key's net row action at
+    // sub 2) collapse to the key's end state at that commit, and
+    // transitions are diffed across commits. Acting per-action instead
+    // opened a phantom version whenever one commit wiped a conversation
+    // AND re-inserted an identical row (the engine keeps the row — the
+    // wipe rule lets same-commit row actions survive — so consecutive
+    // snapshots are identical and the oracle records no transition).
+    val wCommit = Window.partitionBy("src_conv_id", "src_turn_idx", "v")
+      .orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val collapsed = s2
+      .withColumn("end_state", last(col("state_ev"), ignoreNulls = true).over(wCommit))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src_conv_id", "src_turn_idx", "v").orderBy(col("sub").desc)))
+      .filter(col("rn") === 1 && col("end_state").isNotNull)
+
+    // transitions across commits: open⇒open' (payload changed) closes +
+    // reopens; open⇒absent closes; absent⇒open opens; equal payloads and
+    // absent⇒absent are no snapshot diff ⇒ no version
+    val wOrdC  = Window.partitionBy("src_conv_id", "src_turn_idx").orderBy(col("v"))
+    val wPrevC = wOrdC.rowsBetween(Window.unboundedPreceding, -1)
+    val s3 = collapsed
+      .withColumn("prev_end", last(col("end_state"), ignoreNulls = true).over(wPrevC))
+      .withColumn("opening", col("end_state.open") &&
+        !(col("prev_end").isNotNull && col("prev_end.open") &&
+          (col("prev_end.r") <=> col("end_state.r"))))
+      .withColumn("closing", !col("end_state.open") &&
+        col("prev_end").isNotNull && col("prev_end.open"))
+      .filter(col("opening") || col("closing"))
+      .withColumn("next_v", lead(col("v"), 1).over(wOrdC))
       .withColumn("open_rank",
         sum(when(col("opening"), 1L).otherwise(0L))
-          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .over(wOrdC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     s3.filter(col("opening"))
       .withColumn("ordinal",
@@ -303,7 +328,7 @@ object Scd2History {
       .select(
         keyCol(col("src_conv_id"), col("src_turn_idx")).as("conv_id") +:
           col("ordinal").as("turn_idx") +:
-          payloadCols(sch, n => col(s"row.`$n`")) :+
+          payloadCols(sch, n => col(s"end_state.r.`$n`")) :+
           coalesce(col("init_from"), col("v")).as("valid_from") :+
           col("next_v").as("valid_to") :+
           col("next_v").isNull.as("is_current"): _*)

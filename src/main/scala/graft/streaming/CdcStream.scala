@@ -77,6 +77,10 @@ object CdcStream {
   def awaitMaintenance(checkpointDir: String): Unit =
     pendingMaintenance.get(checkpointDir).foreach { f =>
       scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
+      // teardown eviction: a long-lived JVM cycling many streams (test
+      // suites, notebooks) must not accumulate per-stream entries forever
+      pendingMaintenance.remove(checkpointDir, f)
+      maintenanceQueued.remove(checkpointDir)
     }
 
   /** Topic→table routing (the reference's `table.name.format` with
@@ -429,19 +433,26 @@ object CdcStream {
               case NonFatal(e) =>
                 System.err.println(s"[graft] WARN maintenance for stream '${cfg.streamId}' " +
                   s"failed (ingest unaffected; retried next cadence): $e")
-            } finally {
-              // a cadence fired while we ran: catch up once (coalesced)
-              if (queued.getAndSet(false)) runMaintenance()
             }
           }
-          val prev = pendingMaintenance.get(key)
-          if (prev.forall(_.isCompleted)) {
-            pendingMaintenance(key) = Future(runMaintenance())(maintenanceEc)
-          } else {
-            queued.set(true)
-            System.err.println(s"[graft] maintenance for stream '${cfg.streamId}' still " +
-              s"running at epoch $epochId — queued a catch-up run")
-          }
+          // Coalescing submission with no lost-wakeup window: mark a run
+          // due, then chain ONE drain task behind whatever is pending on
+          // the single-threaded maintenance executor. Every cadence
+          // chains a drain; only the first to observe the flag runs the
+          // maintenance, the rest no-op — N cadences firing during one
+          // long pass still coalesce into one catch-up. (The previous
+          // isCompleted check raced the task's own finally-drain: the
+          // flag could be set after the drain but before the Future was
+          // marked complete, stranding the catch-up until the next
+          // cadence — forever, for availableNow streams.)
+          queued.set(true)
+          val prev = pendingMaintenance.getOrElse(key, Future.unit)
+          // transform (not map): chain even if a previous task died on a
+          // fatal error — one poisoned future must not disable the
+          // maintenance cadence for the rest of the stream's life
+          pendingMaintenance(key) = prev.transform { _ =>
+            scala.util.Try { if (queued.getAndSet(false)) runMaintenance() }
+          }(maintenanceEc)
         }
         ()
       }

@@ -98,7 +98,17 @@ final class IceLiteTable(val dir: String) {
   /** Full table state as of `version`: nearest checkpoint (or the memoized
     * fold, whichever is closer) + the diff chain up to `version`.
     */
-  def snapshot(version: Long): Snapshot = {
+  def snapshot(version: Long): Snapshot =
+    try snapshot0(version)
+    catch {
+      // Expiry (on the background maintenance thread since round 4) can
+      // delete a checkpoint BETWEEN this reader's list and read: it
+      // first writes the new boundary checkpoint, then deletes the old
+      // ones, so a single re-list always sees a complete chain again.
+      case _: java.nio.file.NoSuchFileException => snapshot0(version)
+    }
+
+  private def snapshot0(version: Long): Snapshot = {
     val c = stateCache
     if (c != null && c.version == version) { lastFoldSteps = 0; return c }
     var s: Snapshot = {

@@ -65,6 +65,23 @@ class IncrementalViewSpec extends SparkSuite {
     assert(noop.result.skipped && IncrementalView.cursor(src, view).contains(src.currentVersion))
   }
 
+  test("NULL measure values contribute 0: a null-text insert must not wipe an existing group sum") {
+    val src = IceLite.create(tmpDir("ivm-null-src") + "/t", turnSchema, 4)
+    val view = IceLite.create(tmpDir("ivm-null-view") + "/t",
+      IncrementalView.viewSchema(spark, src, vspec), 4)
+    // commit 1: a real-text row establishes chars=6 for role 'user'
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(ins(1, "c01", 0, "abcdef"))),
+      spec = mor, epoch = Some(("s", 0L)))
+    IncrementalView.refresh(spark, src, view, vspec, mor)
+    // commit 2: a NEW conversation in the same group with text=null —
+    // its chars delta is an all-NULL sum; the stored 6 must survive
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(ins(2, "c02", 0, null))),
+      spec = mor, epoch = Some(("s", 1L)))
+    IncrementalView.refresh(spark, src, view, vspec, mor)
+    val got = rows(IncrementalView.read(spark, view, vspec))
+    assert(got == Seq(("user", 2L, 0L, 6L)), got.toString)
+  }
+
   test("group death: a role wiped from the corpus leaves the view") {
     val src = IceLite.create(tmpDir("ivm-death-src") + "/t", turnSchema, 4)
     val view = IceLite.create(tmpDir("ivm-death-view") + "/t",

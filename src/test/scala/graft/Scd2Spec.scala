@@ -174,6 +174,33 @@ class Scd2Spec extends SparkSuite {
     assert(eng == oracleHistory(src, bootV, v))
   }
 
+  test("wipe + IDENTICAL same-commit re-insert is invisible: snapshots equal, no phantom version") {
+    val src = IceLite.create(tmpDir("scd2-wid-src") + "/t", turnSchema, 4)
+    val h = IceLite.create(tmpDir("scd2-wid-h") + "/t", Scd2History.historySchema(turnSchema), 4)
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(
+      ins(0, "c1", 0, "same"), ins(1, "c1", 1, "gone"))),
+      spec = mor, epoch = Some(("s", 0L)))
+    Scd2History.refresh(spark, src, h, mor)
+    val bootV = Scd2History.cursor(src, h).get
+    // one commit: wipe c1, re-insert c1/0 with the IDENTICAL row — the
+    // engine keeps it (same ts/text as offset 0? ts differs by offset...
+    // re-insert with the same offset-derived content via an upsert that
+    // reproduces the original turn exactly)
+    CdcApply.applyBatch(spark, src, eventsDF(spark, Seq(
+      del(2, "c1", None),
+      ins(0, "c1", 0, "same").copy(offset = 3L, ts = ts(3)))), spec = mor, epoch = Some(("s", 1L)))
+    Scd2History.refresh(spark, src, h, mor)
+    val v = src.currentVersion
+    val eng = engineHistory(h)
+    assertWellFormed(eng)
+    // c1/0's snapshot state is identical before and after the wipe commit
+    // — exactly ONE version, still current; c1/1 closed at v
+    assert(eng(("c1", 0)).map(x => (x._1._2, x._2, x._3)) == Seq(("same", bootV, None)),
+      eng(("c1", 0)).toString)
+    assert(eng(("c1", 1)).map(x => (x._1._2, x._2, x._3)) == Seq(("gone", bootV, Some(v))))
+    assert(eng == oracleHistory(src, bootV, v))
+  }
+
   test("unchanged rows open no version: an update that matches nothing is invisible") {
     val src = IceLite.create(tmpDir("scd2-nop-src") + "/t", turnSchema, 4)
     val h = IceLite.create(tmpDir("scd2-nop-h") + "/t", Scd2History.historySchema(turnSchema), 4)
