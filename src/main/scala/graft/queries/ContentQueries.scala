@@ -85,28 +85,75 @@ object ContentQueries {
     (0 until bits).map(i => when(element_at(col("v"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  /** Banded-MinHash LSH candidate pairs over `documents` (shared by q19
-    * and the q21 Jaccard gate): word 3-shingles → 4 min-hash bands →
-    * bands MELTED to rows → ONE self-join on (band, band_val). Melting
-    * (vs one join per band) lets Catalyst reuse the signature exchange on
-    * both sides instead of recomputing the shingle subplan 8×.
-    *
-    * Band hashes are four disjoint 8-hex-char SLICES of one md5 per
-    * shingle (md5's output bits are uniformly mixed, so disjoint 32-bit
-    * slices act as independent min-hash functions): ONE digest per
-    * shingle instead of four prefixed ones — measured >2x on the
-    * signature stage, which dominates both q19 and q21. md5 stays the
-    * hash because it is the only digest shared bit-for-bit with the
-    * DuckDB oracle.
+  /** Max members of one LSH band group ((band, band_value) bucket) that
+    * still enter the candidate self-join. The self-join emits k²/2 pairs
+    * from a k-member group: real crawl corpora carry million-copy
+    * boilerplate whose band groups would make the whole dedup family
+    * quadratic in the largest cluster. Exact duplicates are already
+    * collapsed BEFORE banding (see [[lshCandidates]]), so a group this
+    * hot is near-identical-but-distinct boilerplate; its pairs are
+    * dropped (and the dropped volume logged — no silent cap). The
+    * standard production guard: other, colder bands of the same docs
+    * still produce candidates, and the exact-dup star covers identical
+    * copies. Mirrored bit-for-bit in the DuckDB oracle.
     */
-  private def lshCandidates(docs: DataFrame): DataFrame = {
+  val LshBandGroupCap: Int = 128
+
+  /** Band groups dropped by the last [[lshCandidatesCached]] build in
+    * this JVM: (groups over cap, melted rows in them). Observability/test
+    * hook (same pattern as IceLite.lastFoldSteps), not part of results.
+    */
+  @volatile private[graft] var lastLshDrop: (Long, Long) = (0L, 0L)
+
+  /** Banded-MinHash LSH candidate pairs over `documents` (shared by q19
+    * and the q21 Jaccard gate), in three scale-guarded stages:
+    *
+    * 1. EXACT-DUPLICATE PRE-PASS: identical texts (same md5) collapse to
+    *    one representative (min doc_id) before any shingling; the group's
+    *    members link to their representative as a STAR (rep, member) —
+    *    O(k) pairs per k-copy group instead of the k²/2 the old self-join
+    *    emitted (identical texts share every band). Connected components
+    *    (q33) are unchanged (star ≡ clique for reachability) and the
+    *    keep-list rule (q32: drop idb) still keeps exactly the min doc of
+    *    the group. Jaccard verify passes trivially on star pairs (J=1).
+    * 2. MINHASH BANDING on representatives only: word 3-shingles → 4
+    *    min-hash bands → bands MELTED to rows → ONE self-join on
+    *    (band, band_val). Melting (vs one join per band) lets Catalyst
+    *    reuse the signature exchange on both sides. Band hashes are four
+    *    disjoint 8-hex-char SLICES of one md5 per shingle (md5's output
+    *    bits are uniformly mixed, so disjoint 32-bit slices act as
+    *    independent min-hash functions): ONE digest per shingle instead
+    *    of four prefixed ones — measured >2x on the signature stage. md5
+    *    stays the hash because it is the only digest shared bit-for-bit
+    *    with the DuckDB oracle.
+    * 3. BAND-GROUP FREQUENCY CAP ([[LshBandGroupCap]]): groups hotter
+    *    than the cap are excluded from the self-join (window count on the
+    *    melted frame — same (band, bv) key as the join, so the exchange
+    *    is shared). Near-identical boilerplate clusters can no longer
+    *    make the candidate stage quadratic.
+    */
+  private def lshCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
+    // --- stage 1: exact-dup collapse. groupBy (not a window): partial
+    // aggregation collapses a hot signature map-side, so a million-copy
+    // group never concentrates its text in one task.
+    val sigd = docs.select(col("doc_id"), md5(col("text")).as("dsig"))
+    val reps = sigd.groupBy("dsig").agg(min("doc_id").as("rep_id"))
+    val exactLinks = sigd.join(reps, "dsig")
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("ida"), col("doc_id").as("idb"))
     // spread BEFORE the per-shingle lambda work: the docs table arrives in
     // O(file-count) partitions (ONE at test SF), and the shingle explode +
     // md5 + partial agg all run in the scan stage — unpartitioned, that
     // whole CPU block lands on one core. One narrow shuffle of raw text
-    // buys full-width parallelism for the dominant stage.
-    val sh = docs
+    // buys full-width parallelism for the dominant stage (and survives an
+    // AQE broadcast of the reps side, which would otherwise keep the join
+    // in the scan's partitioning).
+    val repDocs = docs
       .repartition(col("doc_id"))
+      .join(reps.select(col("rep_id").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
+    // --- stage 2: banding over representatives
+    val sh = repDocs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(wordShingles(3))).as("sh"))
@@ -115,23 +162,51 @@ object ContentQueries {
     val sig = sh.groupBy("doc_id").agg(bands.head, bands.tail: _*)
     val melted = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(j => col(s"b$j")): _*)).as(Seq("band", "bv")))
+    // --- stage 3: frequency cap, then the self-join. The window and the
+    // join share the (band, bv) key, so Catalyst reuses one exchange.
+    val counted = melted.withColumn("gcnt",
+      count(lit(1)).over(Window.partitionBy("band", "bv")))
+    val kept = counted.filter(col("gcnt") <= LshBandGroupCap).drop("gcnt")
     // NO broadcast hint: the signature side is O(corpus) (4 rows per doc)
     // — broadcastable at test SF but a driver hazard at 100 TB. The
     // self-join shuffles on (band, bv) and both sides share one reused
     // exchange (identical subplans); AQE may still broadcast small inputs.
-    melted.as("a").join(melted.as("b"),
+    val lshPairs = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .distinct()
+    (lshPairs.unionByName(exactLinks).distinct(), counted)
   }
 
   /** Memoized [[lshCandidates]] (the shared gate of q19/q21/q32): the
     * signature+banding stage dominates all three, and its result is only
-    * candidate id-pairs (duplicate-density sized).
+    * candidate id-pairs (duplicate-density sized). The build is FORCED
+    * here (not lazily by the first consumer) so the band-cap's dropped
+    * volume can be logged from the transiently-persisted banded frame —
+    * "no silent caps" — without re-running the signature stage; the
+    * banded frame is unpersisted before returning, so only the pair-sized
+    * result stays cached.
     */
-  private def lshCandidatesCached(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "lshCandidates")(lshCandidates(t(s, dir, "documents")))
+  private def lshCandidatesCached(s: SparkSession, dir: String): DataFrame = {
+    shared.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    shared.getOrElseUpdate((s, dir, "lshCandidates"), {
+      import org.apache.spark.storage.StorageLevel
+      val (result0, counted) = lshCandidates(t(s, dir, "documents"))
+      counted.persist(StorageLevel.MEMORY_AND_DISK)
+      val result = result0.persist(StorageLevel.MEMORY_AND_DISK)
+      result.count() // materialize through the cached banded frame
+      val drop = counted.filter(col("gcnt") > LshBandGroupCap)
+        .agg(count_distinct(col("band"), col("bv")).as("g"), count(lit(1)).as("r"))
+        .head()
+      lastLshDrop = (drop.getLong(0), drop.getLong(1))
+      if (drop.getLong(0) > 0L)
+        System.err.println(s"[q19] band cap $LshBandGroupCap dropped ${drop.getLong(0)} hot " +
+          s"band groups covering ${drop.getLong(1)} doc-band rows (near-identical boilerplate; " +
+          "exact duplicates were star-linked before banding)")
+      counted.unpersist(blocking = false)
+      result
+    })
+  }
 
   /** LSH-gated exact n-gram Jaccard (q21; reused by the q32 keep-list):
     * candidates from the q19 banding, exact char-3-gram Jaccard computed
@@ -603,18 +678,36 @@ object ContentQueries {
     .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
   private val lshBands = (0 until 4)
     .map(j => s"min(substr(md5(sh), ${1 + 8 * j}, 8)) AS b$j").mkString(", ")
+  // per-band self-join, band groups over the frequency cap excluded —
+  // mirrors the Spark side's (band, bv) window guard bit-for-bit
   private val lshPairUnion = (0 until 4).map(j =>
-    s"SELECT a.doc_id AS ida, b.doc_id AS idb FROM sig a JOIN sig b ON a.b$j = b.b$j AND a.doc_id < b.doc_id")
+    s"SELECT a.doc_id AS ida, b.doc_id AS idb FROM sig a JOIN sig b ON a.b$j = b.b$j AND a.doc_id < b.doc_id" +
+      s" WHERE a.b$j IN (SELECT b$j FROM sig GROUP BY b$j HAVING count(*) <= $LshBandGroupCap)")
     .mkString("\n UNION\n ")
 
-  /** q21 oracle body (also the CTE base of the q32 keep-list oracle). */
-  private val jaccardOracle: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** Shared candidate CTE chain (q19 body; CTE base of q21/q32/q33/q44):
+    * exact-dup star links + capped banded-minhash pairs over
+    * representatives — the SQL mirror of [[lshCandidates]].
+    */
+  private val lshCandCtes: String =
+    s"""sigd AS (SELECT doc_id, md5(text) AS dsig FROM documents),
+       |rep AS (SELECT dsig, min(doc_id) AS rep_id FROM sigd GROUP BY dsig),
+       |exact_links AS (
+       | SELECT r.rep_id AS ida, d.doc_id AS idb FROM sigd d JOIN rep r ON d.dsig = r.dsig
+       | WHERE d.doc_id <> r.rep_id),
+       |w AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
+       |      FROM documents d JOIN rep r ON d.doc_id = r.rep_id),
        |sh AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS sh
        |       FROM w WHERE len(ws) >= 3),
        |sig AS (SELECT doc_id, $lshBands FROM sh GROUP BY doc_id),
        |cand AS (SELECT DISTINCT ida, idb FROM (
-       | $lshPairUnion)),
+       | $lshPairUnion
+       | UNION
+       | SELECT ida, idb FROM exact_links))""".stripMargin
+
+  /** q21 oracle body (also the CTE base of the q32 keep-list oracle). */
+  private val jaccardOracle: String =
+    s"""WITH $lshCandCtes,
        |d AS (SELECT doc_id,
        |  list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
        | FROM documents)
@@ -628,12 +721,8 @@ object ContentQueries {
     "q18_dedup_exact" ->
       "SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY md5(text)",
     "q19_dedup_minhash_lsh" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |sh AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS sh
-         |       FROM w WHERE len(ws) >= 3),
-         |sig AS (SELECT doc_id, $lshBands FROM sh GROUP BY doc_id)
-         |SELECT DISTINCT ida, idb FROM (
-         | $lshPairUnion)""".stripMargin,
+      s"""WITH $lshCandCtes
+         |SELECT ida, idb FROM cand""".stripMargin,
     "q20_dedup_simhash" ->
       s"""WITH words AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
