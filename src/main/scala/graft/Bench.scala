@@ -199,6 +199,23 @@ object Bench {
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(64).count()
       SparkEntry.queries.get("q02_filter_project").foreach(_(spark, sfDir).count())
+      // operator-shape warmup for the dedup pipeline (round 5): the
+      // exact-dup pre-pass + band-cap build added window/union/multi-join/
+      // cache-build stages whose FIRST-TIME Catalyst analysis + codegen
+      // measured 3-4s — JVM startup, not plan cost (same rationale as the
+      // CDC-path warmup below). A 200-doc synthetic corpus on a temp dir
+      // warms those code paths; its memo entries are evicted before the
+      // measured phase so q19 still times the real sfDir BUILD.
+      val wd = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-warmdocs").toString
+      import spark.implicits._
+      (0 until 200).map(i =>
+        (i.toLong, s"warm doc $i where the table scan merge filter join query runs $i times", "en", "w", 60L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$wd/documents.parquet")
+      SparkEntry.queries.get("q19_dedup_minhash_lsh").foreach(_(spark, wd).count())
+      SparkEntry.queries.get("q21_dedup_ngram_jaccard").foreach(_(spark, wd).count())
+      graft.queries.ContentQueries.clearShared(spark)
+      deleteRecursively(wd)
     } catch { case _: Throwable => () }
 
     val spinPre = spinProbeMs()
@@ -217,6 +234,13 @@ object Bench {
       // q44): their second sample would read the persisted result, and
       // min() would report cache-read time as the build cost — those
       // keep their first (building) sample.
+      // KNOWN BIAS (documented, accepted): the first sample also warms
+      // parquet footer caches and the OS page cache, so min() skews
+      // toward warm-cache times relative to the pre-round-4
+      // single-sample protocol — round-over-round comparisons against
+      // r03-and-earlier BENCH history partly reflect that protocol
+      // change, not engine speedups. Comparisons within the best-of-2
+      // era (r04+) are like-for-like.
       try {
         val memoBefore = graft.queries.ContentQueries.sharedCount(spark)
         val first = {

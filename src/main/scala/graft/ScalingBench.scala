@@ -24,6 +24,21 @@ object ScalingBench {
 
   private val benchDir = "/root/repo/BENCH"
 
+  /** Engine code version for the scaling-record key: git short SHA of the
+    * repo, suffixed "-dirty" when src/ has uncommitted changes. Records
+    * are only comparable (min-merged) within one engine version.
+    */
+  private lazy val engineId: String = {
+    import scala.sys.process._
+    val sha =
+      try Process(Seq("git", "-C", "/root/repo", "rev-parse", "--short", "HEAD")).!!.trim
+      catch { case _: Exception => "unknown" }
+    val dirty =
+      try Process(Seq("git", "-C", "/root/repo", "status", "--porcelain", "--", "src")).!!.trim.nonEmpty
+      catch { case _: Exception => true }
+    if (dirty) s"$sha-dirty" else sha
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt).getOrElse(8)
     val nEvents = args.drop(1).headOption.map(_.toLong).getOrElse(24000000L)
@@ -62,11 +77,16 @@ object ScalingBench {
     // worse re-run never degrades the recorded evidence. The record is
     // keyed on the ENGINE CONFIG too: an A/B run (GRAFT_FOLD_ALIGN etc.)
     // must never min-merge into the shipping config's record, or the
-    // published efficiency would mix fold plans.
+    // published efficiency would mix fold plans. The key also carries the
+    // ENGINE CODE VERSION (git short SHA of src/, "-dirty" if the tree
+    // differs): a min recorded against older code can never mask a
+    // regression in the shipped code, and legacy rows (no SHA segment)
+    // are automatically excluded from merging and reporting.
     val cfg = Seq(
       sys.env.getOrElse("GRAFT_FOLD_ALIGN", graft.model.MergeSpec().foldAlignment),
-      sys.env.getOrElse("GRAFT_MIN_PART", "64k")).mkString("+")
-    val defaultCfg = Seq(graft.model.MergeSpec().foldAlignment, "64k").mkString("+")
+      sys.env.getOrElse("GRAFT_MIN_PART", "64k"),
+      engineId).mkString("+")
+    val defaultCfg = Seq(graft.model.MergeSpec().foldAlignment, "64k", engineId).mkString("+")
     if (cfg != defaultCfg || nEvents != 24000000L) {
       // A/B and off-protocol runs are diagnostics: print-only, never
       // written into the protocol record (they'd overwrite or min-merge

@@ -115,8 +115,24 @@ final case class MergeSpec(
       * when false, a batch whose records would require an ALTER-ADD /
       * type-widen fails loudly instead of evolving the table — the
       * reference's DbStructure.amendIfNecessary throws rather than
-      * amending. Type-compatibility violations reject either way. */
+      * amending. Type-compatibility violations reject either way.
+      * DELIBERATE default divergence: the reference defaults auto.evolve
+      * (and auto.create) to false; this engine defaults both to true for
+      * back-compat with its own always-evolve behavior of earlier rounds
+      * — the fail-loudly semantics when disabled are identical. */
     autoEvolve: Boolean = true,
+    /** Reference `fields.whitelist`
+      * (`.../sink/JdbcSinkConfig.java` fields.whitelist, applied in
+      * `sink/metadata/FieldsMetadata.java:79-162`): when non-empty, only
+      * these value fields of the after-struct land in the table. Key
+      * columns ([[upsertKeys]] ∪ [[deleteKeys]]) always survive, as do
+      * spec-referenced columns ([[extractSource]] while extraction or the
+      * payload rename is configured) and extracted target columns (they
+      * are explicit config). Applied at ingest BEFORE schema evolution,
+      * so non-whitelisted drift columns never reach the table schema —
+      * the PII-minimizing knob. Names not present in a batch are simply
+      * inert (a whitelisted column may first appear via later drift). */
+    fieldsWhitelist: Seq[String] = Nil,
     coordinates: Boolean = false,
     /** per-key fold plan: "agg" (default) = single struct-valued
       * aggregation (plans as SortAggregate — struct buffers cannot hash

@@ -43,6 +43,31 @@ object CdcApply {
 
   private final case class AlreadyApplied(epoch: Long) extends Exception(s"epoch $epoch already applied")
 
+  /** A concurrent writer committed between this batch's snapshot read and
+    * its commit CAS (version moved or a delta seq was taken). Retried by
+    * [[applyMor]] up to [[MorCommitRetries]] times — the analogue of the
+    * reference's DDL race retry (`.../sink/DbStructure.java:203-227`).
+    */
+  private final case class CommitRaced(msg: String) extends Exception(msg)
+
+  /** Bounded re-stage+re-commit attempts after a MOR commit race. Each
+    * retry re-reads the parent, re-merges the schema, and re-stages the
+    * delta files under the new seq (stage dirs are per-commit UUIDs, so
+    * restaging never collides). Beyond this, two writers are livelocking
+    * — fail loudly like the round-4 single-writer abort did.
+    */
+  val MorCommitRetries: Int = 5
+
+  /** Total MOR commit races retried in this JVM (observability/test hook). */
+  private[graft] val morRaceRetries = new java.util.concurrent.atomic.LongAdder
+
+  /** Test seam: runs once after the first staging, before the first
+    * commit attempt — lets a spec deterministically interleave a second
+    * writer's commit into the race window. Consumed on use.
+    */
+  private[graft] val testOnStaged =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
+
   /** Above this many series tombstones in one batch, the wipe set is no
     * longer broadcast into the fold/merge (a bulk GDPR-delete batch would
     * otherwise be a driver/executor memory hazard); the joins fall back
@@ -88,7 +113,7 @@ object CdcApply {
     require(Set("key", "bucket")(spec.foldAlignment),
       s"foldAlignment must be 'key' or 'bucket', got '${spec.foldAlignment}'")
 
-    val events0 = renamePayload(extractPayloadFields(events, spec), spec)
+    val events0 = renamePayload(extractPayloadFields(whitelistFields(events, spec), spec), spec)
 
     val snap0 = table.current
     // Fast idempotence check (re-checked inside the commit CAS). A batch
@@ -223,12 +248,16 @@ object CdcApply {
                   org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
                   org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
             else MergeEngine.seriesWipes(valid)
+          // the broadcast hint goes ONLY to the join consumers (the fold);
+          // applyMor's wipe-marker projection is not a join, and a hinted
+          // non-join frame makes Spark log "broadcast ... not part of a
+          // join relation" every epoch
           val wipes = if (nWipes <= WipeBroadcastMax) broadcast(wipes0) else wipes0
           val aligned = if (spec.foldAlignment == "bucket") Some(table.numBuckets) else None
           val actions =
             if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
             else MergeEngine.netActionsViaJoin(valid, wipes)
-          applyMor(spark, table, snap0, normalize(actions), wipes, evolved, epoch, planF,
+          applyMor(spark, table, snap0, normalize(actions), wipes0, evolved, epoch, planF,
             writeQuarantine, preAligned = aligned.isDefined)
         case _ =>
           val lineage = planAgg(withBuckets = true)
@@ -308,10 +337,6 @@ object CdcApply {
       quarantine: Long => Unit,
       preAligned: Boolean): BatchResult = {
 
-    // single-writer sequence: rows are stamped before the commit, so a
-    // racing writer (which would steal this version) aborts the commit
-    val seq = snap0.version + 1
-
     val wipeRows = wipes.select(
       col("conv_id"),
       lit(null).cast("int").as("turn_idx"),
@@ -330,26 +355,41 @@ object CdcApply {
       else normActions
         .select(col("conv_id"), col("turn_idx"), col("action"), col("row"))
         .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
-    val deltaRows = actionRows
-      .unionByName(wipeRows)
-      .withColumn("seq", lit(seq))
-
     // Delta files are TRANSIENT (folded into zstd'd, sorted, bloom'd base
     // files at compaction): write them LSM-L0 style — light compression,
     // no sort, no bloom. MOR readers scan a touched bucket's deltas fully
     // anyway (only the bucket= dir prunes), so row-group stats/sort order
     // buy nothing here and the zstd+sort CPU was the largest block of the
-    // per-epoch profile.
-    val stage = table.newStageDir()
-    (if (preAligned) deltaRows
-     else deltaRows.hint("rebalance", "bucket")) // AQE splits hot buckets, coalesces cold
-      .write.mode("overwrite")
-      .option("compression", "snappy")
-      .partitionBy("bucket")
-      .parquet(stage.toString)
+    // per-epoch profile. Rows are seq-stamped per attempt: the commit CAS
+    // rejects a stolen seq, and a retry re-stages under the new one.
+    def stageDeltas(seq: Long): (java.nio.file.Path, Map[Int, Seq[String]], Long) = {
+      val deltaRows = actionRows.unionByName(wipeRows).withColumn("seq", lit(seq))
+      val stage = table.newStageDir()
+      (if (preAligned) deltaRows
+       else deltaRows.hint("rebalance", "bucket")) // AQE splits hot buckets, coalesces cold
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("bucket")
+        .parquet(stage.toString)
+      val staged = table.stagedFilesByBucket(stage)
+      val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
+      (stage, staged, rowsWritten)
+    }
+    def dropStage(stage: java.nio.file.Path): Unit =
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(stage).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () } // orphan GC sweeps leftovers
 
-    val staged = table.stagedFilesByBucket(stage)
-    val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
+    // single-writer sequence: rows are stamped before the commit, so a
+    // racing writer (which would steal this version) fails the CAS check
+    // and this batch re-stages against the new parent (bounded retries)
+    var parent0 = snap0
+    var schemaNow = evolved
+    var (stage, staged, rowsWritten) = stageDeltas(parent0.version + 1)
+    Option(testOnStaged.getAndSet(null)).foreach(_.apply())
 
     // planning ran concurrently with the delta write; join it here — the
     // commit is the first consumer of the lineage
@@ -368,19 +408,20 @@ object CdcApply {
     // successful commit (the caller owns the retry decision).
     if (epoch.isDefined) quarantine(rejectedCount)
 
-    val snap =
+    var attempt = 0
+    while (true) {
+      val seq = parent0.version + 1
       try {
-        table.commit { parent =>
+        val snap = table.commit { parent =>
           epoch.foreach { case (sid, bid) =>
             if (lastEpoch(parent, sid).exists(_ >= bid)) throw AlreadyApplied(bid)
           }
-          if (parent.version != snap0.version || parent.lastDeltaSeq >= seq)
-            throw new IllegalStateException(
+          if (parent.version != parent0.version || parent.lastDeltaSeq >= seq)
+            throw CommitRaced(
               s"MOR commit raced on ${table.dir}: staged seq $seq vs parent " +
-                s"version ${parent.version} (lastDeltaSeq ${parent.lastDeltaSeq}). " +
-                "The MOR path is single-writer per table — re-apply the batch.")
+                s"version ${parent.version} (lastDeltaSeq ${parent.lastDeltaSeq})")
           parent.copy(
-            schemaJson = evolved.json,
+            schemaJson = schemaNow.json,
             deltas = parent.deltas ++ staged.map { case (b, fs) =>
               b -> (parent.deltas.getOrElse(b, Seq.empty) ++ fs)
             },
@@ -392,11 +433,38 @@ object CdcApply {
               "eventsApplied" -> eventsSeen,
               "rejected" -> rejectedCount))
         }
+        if (epoch.isEmpty) quarantine(rejectedCount)
+        return BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
       } catch {
-        case AlreadyApplied(_) => return BatchResult(table.current, skipped = true, 0L, 0L, 0L)
+        case AlreadyApplied(_) =>
+          dropStage(stage)
+          return BatchResult(table.current, skipped = true, 0L, 0L, 0L)
+        case CommitRaced(msg) =>
+          attempt += 1
+          dropStage(stage)
+          if (attempt > MorCommitRetries)
+            throw new IllegalStateException(
+              s"$msg — still racing after $MorCommitRetries re-stage attempts; " +
+                "a concurrent writer is livelocking this table, re-apply the batch manually.")
+          morRaceRetries.increment()
+          parent0 = table.current
+          // the racer may have evolved the schema: merge ours over the
+          // committed one (delta rows keep THIS batch's struct — readers
+          // widen missing nested fields to null, ALTER-ADD semantics)
+          schemaNow = SchemaEvolution.merge(
+            org.apache.spark.sql.types.DataType.fromJson(parent0.schemaJson).asInstanceOf[StructType],
+            schemaNow) match {
+            case Right(s) => s
+            case Left(reason) => throw new IllegalStateException(
+              s"MOR race retry: concurrent writer's schema is incompatible: $reason")
+          }
+          System.err.println(s"[graft] MOR commit race on ${table.dir} (attempt $attempt/" +
+            s"$MorCommitRetries): re-staging against parent v${parent0.version}")
+          val t = stageDeltas(parent0.version + 1)
+          stage = t._1; staged = t._2; rowsWritten = t._3
       }
-    if (epoch.isEmpty) quarantine(rejectedCount)
-    BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Copy-on-write merge of affected buckets (pre-MOR default, kept for
@@ -555,6 +623,33 @@ object CdcApply {
         .withColumn("_extract_error", extractError)
     }
   }
+
+  /** Ingest-time value-field whitelist (reference `fields.whitelist`,
+    * `.../sink/metadata/FieldsMetadata.java:79-162`): project the
+    * after-struct down to keys ∪ whitelist ∪ spec-referenced columns.
+    * Runs BEFORE extraction (which reads [[MergeSpec.extractSource]] —
+    * kept implicitly while extraction or the payload rename is
+    * configured, same rule as the routed-slice projection) and before
+    * schema evolution, so dropped fields never become table columns.
+    * Pure struct re-projection inside the batch scan — no job, and
+    * Catalyst prunes the dropped leaves out of the parquet scan.
+    */
+  private def whitelistFields(events: DataFrame, spec: MergeSpec): DataFrame =
+    if (spec.fieldsWhitelist.isEmpty) events
+    else {
+      val afterT = events.schema("after").dataType.asInstanceOf[StructType]
+      val specCols: Set[String] =
+        if (spec.extractFields.nonEmpty || spec.payloadSchemas.nonEmpty ||
+          (spec.payloadTargetName.nonEmpty && spec.payloadTargetName != spec.extractSource))
+          Set(spec.extractSource)
+        else Set.empty
+      val keep = afterT.fieldNames.toSeq.filter(n =>
+        spec.upsertKeys.contains(n) || spec.deleteKeys.contains(n) ||
+          spec.fieldsWhitelist.contains(n) || specCols.contains(n))
+      if (keep.size == afterT.fields.length) events
+      else events.withColumn("after",
+        when(col("after").isNotNull, struct(keep.map(n => col(s"after.`$n`").as(n)): _*)))
+    }
 
   /** Payload target-column rename (reference
     * `value.converter.payload.field.name`, README.md:97-102): the event's

@@ -132,10 +132,13 @@ object ContentQueries {
     *    is shared). Near-identical boilerplate clusters can no longer
     *    make the candidate stage quadratic.
     */
-  private def lshCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def lshCandidates(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // --- stage 1: exact-dup collapse. groupBy (not a window): partial
     // aggregation collapses a hot signature map-side, so a million-copy
-    // group never concentrates its text in one task.
+    // group never concentrates its text in one task. sigd is consumed by
+    // three subplans (reps twice, exactLinks once) — the cached builder
+    // persists it TRANSIENTLY so the full text is scanned+digested twice
+    // total (sigd build + repDocs join side), not four times.
     val sigd = docs.select(col("doc_id"), md5(col("text")).as("dsig"))
     val reps = sigd.groupBy("dsig").agg(min("doc_id").as("rep_id"))
     val exactLinks = sigd.join(reps, "dsig")
@@ -175,7 +178,7 @@ object ContentQueries {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-    (lshPairs.unionByName(exactLinks).distinct(), counted)
+    (lshPairs.unionByName(exactLinks).distinct(), counted, sigd)
   }
 
   /** Memoized [[lshCandidates]] (the shared gate of q19/q21/q32): the
@@ -191,19 +194,28 @@ object ContentQueries {
     shared.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
     shared.getOrElseUpdate((s, dir, "lshCandidates"), {
       import org.apache.spark.storage.StorageLevel
-      val (result0, counted) = lshCandidates(t(s, dir, "documents"))
+      val (result0, counted, sigd) = lshCandidates(t(s, dir, "documents"))
+      sigd.persist(StorageLevel.MEMORY_AND_DISK)
       counted.persist(StorageLevel.MEMORY_AND_DISK)
       val result = result0.persist(StorageLevel.MEMORY_AND_DISK)
-      result.count() // materialize through the cached banded frame
-      val drop = counted.filter(col("gcnt") > LshBandGroupCap)
-        .agg(count_distinct(col("band"), col("bv")).as("g"), count(lit(1)).as("r"))
-        .head()
-      lastLshDrop = (drop.getLong(0), drop.getLong(1))
-      if (drop.getLong(0) > 0L)
-        System.err.println(s"[q19] band cap $LshBandGroupCap dropped ${drop.getLong(0)} hot " +
-          s"band groups covering ${drop.getLong(1)} doc-band rows (near-identical boilerplate; " +
+      // ONE action both materializes the persisted result (through the
+      // transient caches) and harvests the cap's dropped-volume stats —
+      // fusing them saves a whole extra job of fixed scheduling/codegen
+      // cost (measured ~0.5s at test SF).
+      val stats = result
+        .agg(lit("pairs").as("tag"), count(lit(1)).as("x"), count(lit(1)).as("y"))
+        .unionAll(counted.filter(col("gcnt") > LshBandGroupCap)
+          .agg(lit("dropped").as("tag"),
+            count_distinct(col("band"), col("bv")).as("x"), count(lit(1)).as("y")))
+        .collect()
+      val drop = stats.find(_.getString(0) == "dropped").get
+      lastLshDrop = (drop.getLong(1), drop.getLong(2))
+      if (drop.getLong(1) > 0L)
+        System.err.println(s"[q19] band cap $LshBandGroupCap dropped ${drop.getLong(1)} hot " +
+          s"band groups covering ${drop.getLong(2)} doc-band rows (near-identical boilerplate; " +
           "exact duplicates were star-linked before banding)")
       counted.unpersist(blocking = false)
+      sigd.unpersist(blocking = false)
       result
     })
   }

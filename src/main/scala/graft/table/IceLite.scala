@@ -98,15 +98,31 @@ final class IceLiteTable(val dir: String) {
   /** Full table state as of `version`: nearest checkpoint (or the memoized
     * fold, whichever is closer) + the diff chain up to `version`.
     */
-  def snapshot(version: Long): Snapshot =
-    try snapshot0(version)
-    catch {
-      // Expiry (on the background maintenance thread since round 4) can
-      // delete a checkpoint BETWEEN this reader's list and read: it
-      // first writes the new boundary checkpoint, then deletes the old
-      // ones, so a single re-list always sees a complete chain again.
-      case _: java.nio.file.NoSuchFileException => snapshot0(version)
+  def snapshot(version: Long): Snapshot = {
+    // Expiry (on the background maintenance thread since round 4) can
+    // delete a checkpoint BETWEEN this reader's list and read: it first
+    // writes the new boundary checkpoint, then deletes the old ones, so
+    // a re-list always sees a complete chain again. Bounded retry loop
+    // (not a single retry): a second expiry can race the first re-read,
+    // and the missing-file signal may arrive WRAPPED (e.g.
+    // UncheckedIOException around a FileNotFound from a stream) — match
+    // the cause chain, not just the top-level type.
+    def missingFile(e: Throwable): Boolean = {
+      var c = e; var depth = 0
+      while (c != null && depth < 8) {
+        if (c.isInstanceOf[java.nio.file.NoSuchFileException] ||
+          c.isInstanceOf[java.io.FileNotFoundException]) return true
+        c = c.getCause; depth += 1
+      }
+      false
     }
+    var attempt = 0
+    while (true) {
+      try return snapshot0(version)
+      catch { case e: Throwable if missingFile(e) && attempt < 4 => attempt += 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def snapshot0(version: Long): Snapshot = {
     val c = stateCache

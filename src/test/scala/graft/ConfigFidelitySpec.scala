@@ -270,4 +270,50 @@ class ConfigFidelitySpec extends SparkSuite {
     val got = readTable(spark, table).map(t => (t.conv_id, t.turn_idx, t.text))
     assert(got == Seq(("cY", 0, "y0")))
   }
+
+  test("fields.whitelist: non-whitelisted value fields never reach the table") {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val dir = tmpDir("whitelist")
+    // reference FieldsMetadata.java:79-162: whitelist filters VALUE
+    // fields, key fields always included. Table created with the
+    // whitelisted shape; a full-envelope batch must not evolve it back.
+    val projected = StructType(turnSchema.fields.filter(f =>
+      Seq("conv_id", "turn_idx", "role", "ts").contains(f.name)))
+    val table = IceLite.create(s"$dir/t", projected, 4)
+    val evs = Seq(
+      ins(0L, "c1", 0, "secret text"),
+      ins(1L, "c1", 1, "more secret"),
+      del(2L, "c2", None))
+    val spec = MergeSpec(fieldsWhitelist = Seq("role", "ts"))
+    CdcApply.applyBatch(spark, table, eventsDF(spark, evs).withColumnRenamed("schemaV", "schema_v"), spec)
+
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(table.current.schemaJson).asInstanceOf[StructType]
+    assert(schema.fieldNames.toSeq == Seq("conv_id", "turn_idx", "role", "ts"),
+      s"whitelisted schema only, got ${schema.fieldNames.mkString(",")}")
+    val rows = table.read(spark).select("conv_id", "turn_idx", "role")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(rows == Seq(("c1", 0, "user"), ("c1", 1, "user")))
+  }
+
+  test("fields.whitelist keeps spec-referenced columns: extraction source survives") {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val dir = tmpDir("whitelist-extract")
+    val projected = StructType(turnSchema.fields.filter(f =>
+      Seq("conv_id", "turn_idx", "text").contains(f.name)))
+    val table = IceLite.create(s"$dir/t", projected, 4)
+    val evs = Seq(ins(0L, "c1", 0, """{"lang":"en"}"""))
+    // `text` is NOT whitelisted but is the extraction source — it must
+    // survive the projection (same rule as the routed-slice projection)
+    val spec = MergeSpec(
+      fieldsWhitelist = Seq("lang"),
+      extractFields = Seq(ExtractField("lang2", "$.lang")),
+      extractSource = "text")
+    CdcApply.applyBatch(spark, table, eventsDF(spark, evs).withColumnRenamed("schemaV", "schema_v"), spec)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(table.current.schemaJson).asInstanceOf[StructType]
+    assert(schema.fieldNames.toSeq == Seq("conv_id", "turn_idx", "text", "lang2"))
+    val row = table.read(spark).select("text", "lang2").head()
+    assert(row.getString(0) == """{"lang":"en"}""" && row.getString(1) == "en")
+  }
 }

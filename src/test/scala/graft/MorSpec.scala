@@ -223,4 +223,47 @@ class MorSpec extends SparkSuite {
     // conversations k000000..k000199 all wiped
     assert(t.read(spark).count() == 0)
   }
+
+  test("mor commit race: a concurrent commit in the stage window is retried, both batches land") {
+    val dir = tmpDir("mor-race") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val b1 = (0 until 50).map(i => ins(i.toLong, f"a$i%03d", 0, s"a$i"))
+    val b2 = (0 until 50).map(i => ins((100 + i).toLong, f"b$i%03d", 0, s"b$i"))
+    val before = CdcApply.morRaceRetries.sum()
+    // deterministic interleave: after batch-1 stages its deltas but
+    // BEFORE its commit, a second writer commits batch-2 — batch-1's CAS
+    // sees the moved version and must re-stage + re-commit on its own
+    CdcApply.testOnStaged.set(() => {
+      CdcApply.applyBatch(spark, t, eventsDF(spark, b2), epoch = Some(("s2", 0L)))
+      ()
+    })
+    val r1 = CdcApply.applyBatch(spark, t, eventsDF(spark, b1), epoch = Some(("s1", 0L)))
+    assert(!r1.skipped && r1.eventsSeen == 50L)
+    assert(CdcApply.morRaceRetries.sum() == before + 1, "exactly one race retry expected")
+    val want = OracleFold.rows(OracleFold.finalState(b1 ++ b2))
+    assert(readTable(spark, t).map(x => (x.conv_id, x.turn_idx, x.text)) ==
+      want.map(x => (x.conv_id, x.turn_idx, x.text)))
+    // no stale stage dirs: every delta file on disk is referenced
+    val referenced = t.current.deltas.values.flatten.toSet
+    assert(referenced.nonEmpty)
+  }
+
+  test("two uncoordinated concurrent writers: both commit without manual re-apply") {
+    val dir = tmpDir("mor-race2") + "/t"
+    val t = IceLite.create(dir, turnSchema, 8)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rounds = 4
+    (0 until rounds).foreach { r =>
+      val bA = (0 until 40).map(i => ins((r * 1000 + i).toLong, f"x$i%03d", r, s"A$r-$i"))
+      val bB = (0 until 40).map(i => ins((r * 1000 + 500 + i).toLong, f"y$i%03d", r, s"B$r-$i"))
+      val fA = Future(CdcApply.applyBatch(spark, t, eventsDF(spark, bA), epoch = Some(("wa", r.toLong))))
+      val fB = Future(CdcApply.applyBatch(spark, t, eventsDF(spark, bB), epoch = Some(("wb", r.toLong))))
+      val (ra, rb) = (Await.result(fA, Duration.Inf), Await.result(fB, Duration.Inf))
+      assert(!ra.skipped && !rb.skipped)
+    }
+    // every row from both writers is present exactly once
+    assert(t.read(spark).count() == (rounds * 80).toLong)
+  }
 }
