@@ -293,8 +293,14 @@ object CdcApply {
 
           if (touched.isEmpty) {
             // Nothing to merge (e.g. all events invalid) — still commit the
-            // epoch marker so re-delivery stays a no-op.
-            val snap = commitSnapshot(table, Map.empty, touched, evolved, epoch, lineage, 0L, eventsSeen, rejectedCount)
+            // epoch marker so re-delivery stays a no-op. No buckets touched
+            // ⇒ the race check is vacuous; only re-delivery can abort.
+            val snap =
+              try commitSnapshot(table, snap0, Map.empty, touched, evolved, epoch, lineage,
+                0L, eventsSeen, rejectedCount)
+              catch {
+                case AlreadyApplied(_) => return BatchResult(table.current, skipped = true, 0L, 0L, 0L)
+              }
             if (epoch.isEmpty) writeQuarantine(rejectedCount)
             return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
           }
@@ -486,46 +492,82 @@ object CdcApply {
 
     // COW applies on top of the CURRENT state: any outstanding MOR deltas
     // of the touched buckets are folded in first (strategy hand-off).
-    val base = {
-      val files = table.dataFiles(Some(touched))
-      val b =
-        if (files.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
-        else spark.read.schema(evolved).parquet(files: _*)
-      val deltaPaths = table.deltaFiles(Some(touched))
-      if (deltaPaths.isEmpty) b else MorRead.merged(spark, evolved, b, deltaPaths)
+    // The base snapshot is PINNED (`cur`) and the commit verifies the
+    // touched buckets are unchanged between it and the commit parent —
+    // without the check, IceLite.commit's CAS loop would happily replace
+    // a touched bucket a concurrent writer just rewrote, silently losing
+    // that writer's rows (the COW twin of the MOR seq race). A detected
+    // race re-reads, re-merges and re-stages (bounded retries).
+    var cur = table.current
+    var schemaNow = evolved
+    var attempt = 0
+    while (true) {
+      val base = {
+        val files = table.resolve(cur.files, Some(touched))
+        val b =
+          if (files.isEmpty)
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schemaNow)
+          else spark.read.schema(schemaNow).parquet(files: _*)
+        val deltaPaths = table.resolve(cur.deltas, Some(touched))
+        if (deltaPaths.isEmpty) b else MorRead.merged(spark, schemaNow, b, deltaPaths)
+      }
+      val merged = MergeEngine.merge(base, normActions, wipes)
+
+      val stage = table.newStageDir()
+      // Skew-aware write partitioning (MergeSpec.writeSalts): a hot
+      // conversation (Zipf head) concentrates in one bucket; partitioning
+      // the write by bucket alone would make that bucket a straggler task.
+      // Default = AQE rebalance (hot partitions split, cold coalesce);
+      // fixed salting available for extreme known skew. Files stay
+      // bucket-pure via partitionBy, so pruning is unaffected. AQE handles
+      // the join side; this handles the write side.
+      val withBucket = merged.withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+      val partitioned = spec.writeSalts match {
+        case 0 => withBucket.hint("rebalance", "bucket") // AQE splits hot buckets, coalesces cold
+        case 1 => withBucket.repartition(col("bucket"))
+        case k => withBucket.repartition(col("bucket"),
+          pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(k.toLong)))
+      }
+      partitioned
+        .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+        .write.mode("overwrite").options(writeOptions)
+        .partitionBy("bucket")
+        .parquet(stage.toString)
+
+      val staged = table.stagedFilesByBucket(stage)
+      // rows-written metric from parquet footers, read driver-side — no
+      // Spark job (the reference's update-count == expected check,
+      // `.../sink/BufferedRecords.java:262-273`, as a commit metric)
+      val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
+      if (attempt == 0) Option(testOnStaged.getAndSet(null)).foreach(_.apply())
+
+      try {
+        val snap = commitSnapshot(table, cur, staged, touched, schemaNow, epoch, lineage,
+          rowsWritten, eventsSeen, rejectedCount)
+        return BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
+      } catch {
+        case AlreadyApplied(_) =>
+          return BatchResult(table.current, skipped = true, 0L, 0L, 0L)
+        case CommitRaced(msg) =>
+          attempt += 1
+          if (attempt > MorCommitRetries)
+            throw new IllegalStateException(
+              s"$msg — still racing after $MorCommitRetries re-merge attempts; " +
+                "a concurrent writer is livelocking this table, re-apply the batch manually.")
+          morRaceRetries.increment()
+          cur = table.current
+          schemaNow = SchemaEvolution.merge(
+            org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson).asInstanceOf[StructType],
+            schemaNow) match {
+            case Right(s) => s
+            case Left(reason) => throw new IllegalStateException(
+              s"COW race retry: concurrent writer's schema is incompatible: $reason")
+          }
+          System.err.println(s"[graft] COW commit race on ${table.dir} (attempt $attempt/" +
+            s"$MorCommitRetries): re-merging against v${cur.version}")
+      }
     }
-    val merged = MergeEngine.merge(base, normActions, wipes)
-
-    val stage = table.newStageDir()
-    // Skew-aware write partitioning (MergeSpec.writeSalts): a hot
-    // conversation (Zipf head) concentrates in one bucket; partitioning
-    // the write by bucket alone would make that bucket a straggler task.
-    // Default = AQE rebalance (hot partitions split, cold coalesce);
-    // fixed salting available for extreme known skew. Files stay
-    // bucket-pure via partitionBy, so pruning is unaffected. AQE handles
-    // the join side; this handles the write side.
-    val withBucket = merged.withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
-    val partitioned = spec.writeSalts match {
-      case 0 => withBucket.hint("rebalance", "bucket") // AQE splits hot buckets, coalesces cold
-      case 1 => withBucket.repartition(col("bucket"))
-      case k => withBucket.repartition(col("bucket"),
-        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(k.toLong)))
-    }
-    partitioned
-      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-      .write.mode("overwrite").options(writeOptions)
-      .partitionBy("bucket")
-      .parquet(stage.toString)
-
-    val staged = table.stagedFilesByBucket(stage)
-    // rows-written metric from parquet footers, read driver-side — no
-    // Spark job (the reference's update-count == expected check,
-    // `.../sink/BufferedRecords.java:262-273`, as a commit metric)
-    val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
-
-    val snap = commitSnapshot(table, staged, touched, evolved, epoch, lineage, rowsWritten, eventsSeen, rejectedCount)
-    BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Ingest-time payload-field extraction + multi-schema classification:
@@ -709,8 +751,17 @@ object CdcApply {
   private def epochProps(epoch: Option[(String, Long)]): Map[String, String] =
     epoch.map { case (sid, bid) => s"epoch:$sid" -> bid.toString }.toMap
 
+  /** COW commit: replace the touched buckets' file lists. Throws
+    * [[AlreadyApplied]] on epoch re-delivery and [[CommitRaced]] when a
+    * concurrent commit changed a touched bucket (base files OR deltas)
+    * after `cur` was read — the staged rewrite was computed from stale
+    * state and replacing the bucket would silently drop the racer's rows.
+    * Callers own the catch (applyCow re-merges; the empty-touch path
+    * cannot race by construction).
+    */
   private def commitSnapshot(
       table: IceLiteTable,
+      cur: IceLite.Snapshot,
       staged: Map[Int, Seq[String]],
       touched: Set[Int],
       evolved: StructType,
@@ -719,28 +770,30 @@ object CdcApply {
       rowsWritten: Long,
       eventsSeen: Long,
       rejected: Long): IceLite.Snapshot =
-    try {
-      table.commit { parent =>
-        epoch.foreach { case (sid, bid) =>
-          if (lastEpoch(parent, sid).exists(_ >= bid)) throw AlreadyApplied(bid)
-        }
-        val newFiles = (parent.files -- touched.toSeq) ++
-          staged ++
-          // a touched bucket whose merge produced no rows becomes empty
-          (touched -- staged.keySet).map(_ -> Seq.empty[String]).toMap
-        parent.copy(
-          schemaJson = evolved.json,
-          files = newFiles.filter(_._2.nonEmpty),
-          // the COW rewrite folded any outstanding deltas of these buckets
-          deltas = (parent.deltas -- touched.toSeq).filter(_._2.nonEmpty),
-          properties = parent.properties ++ offsetProps(parent, lineage) ++ epochProps(epoch),
-          metrics = Map(
-            "rowsWritten" -> rowsWritten,
-            "bucketsRewritten" -> touched.size.toLong,
-            "eventsApplied" -> eventsSeen,
-            "rejected" -> rejected))
+    table.commit { parent =>
+      epoch.foreach { case (sid, bid) =>
+        if (lastEpoch(parent, sid).exists(_ >= bid)) throw AlreadyApplied(bid)
       }
-    } catch {
-      case AlreadyApplied(_) => table.current
+      val stale = touched.filter(b =>
+        parent.files.get(b) != cur.files.get(b) || parent.deltas.get(b) != cur.deltas.get(b))
+      if (stale.nonEmpty)
+        throw CommitRaced(
+          s"COW commit raced on ${table.dir}: buckets ${stale.toSeq.sorted.mkString(",")} " +
+            s"changed between base read (v${cur.version}) and commit (parent v${parent.version})")
+      val newFiles = (parent.files -- touched.toSeq) ++
+        staged ++
+        // a touched bucket whose merge produced no rows becomes empty
+        (touched -- staged.keySet).map(_ -> Seq.empty[String]).toMap
+      parent.copy(
+        schemaJson = evolved.json,
+        files = newFiles.filter(_._2.nonEmpty),
+        // the COW rewrite folded any outstanding deltas of these buckets
+        deltas = (parent.deltas -- touched.toSeq).filter(_._2.nonEmpty),
+        properties = parent.properties ++ offsetProps(parent, lineage) ++ epochProps(epoch),
+        metrics = Map(
+          "rowsWritten" -> rowsWritten,
+          "bucketsRewritten" -> touched.size.toLong,
+          "eventsApplied" -> eventsSeen,
+          "rejected" -> rejected))
     }
 }

@@ -191,7 +191,12 @@ final class IceLiteTable(val dir: String) {
   def deltaFiles(buckets: Option[Set[Int]] = None): Seq[String] =
     resolve(current.deltas, buckets)
 
-  private def resolve(m: Map[Int, Seq[String]], buckets: Option[Set[Int]]): Seq[String] =
+  /** Resolve a snapshot's table-relative file lists to absolute paths —
+    * the pinned-snapshot variant of [[dataFiles]]/[[deltaFiles]], for
+    * writers that must read base state and commit against the SAME
+    * snapshot (CdcApply's COW race detection).
+    */
+  private[graft] def resolve(m: Map[Int, Seq[String]], buckets: Option[Set[Int]]): Seq[String] =
     m.toSeq
       .filter { case (b, _) => buckets.forall(_.contains(b)) }
       .flatMap(_._2)

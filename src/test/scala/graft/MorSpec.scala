@@ -248,6 +248,33 @@ class MorSpec extends SparkSuite {
     assert(referenced.nonEmpty)
   }
 
+  test("cow commit race: a concurrent rewrite of a touched bucket is re-merged, no lost update") {
+    val dir = tmpDir("cow-race") + "/t"
+    val t = IceLite.create(dir, turnSchema, 2) // 2 buckets: the writers WILL collide
+    val cowSpec = MergeSpec(mergeStrategy = "cow")
+    // seed so both batches touch existing buckets
+    CdcApply.applyBatch(spark, t,
+      eventsDF(spark, (0 until 20).map(i => ins(i.toLong, f"s$i%03d", 0, s"s$i"))),
+      spec = cowSpec, epoch = Some(("seed", 0L)))
+    val b1 = (0 until 20).map(i => ins((100 + i).toLong, f"a$i%03d", 0, s"a$i"))
+    val b2 = (0 until 20).map(i => ins((200 + i).toLong, f"b$i%03d", 0, s"b$i"))
+    val before = CdcApply.morRaceRetries.sum()
+    // batch-2 commits between batch-1's base read/stage and its commit:
+    // without the touched-bucket staleness check batch-1's rewrite would
+    // REPLACE the buckets batch-2 just rewrote, silently dropping b2
+    CdcApply.testOnStaged.set(() => {
+      CdcApply.applyBatch(spark, t, eventsDF(spark, b2), spec = cowSpec, epoch = Some(("c2", 0L)))
+      ()
+    })
+    val r1 = CdcApply.applyBatch(spark, t, eventsDF(spark, b1), spec = cowSpec, epoch = Some(("c1", 0L)))
+    assert(!r1.skipped)
+    assert(CdcApply.morRaceRetries.sum() > before, "the cow race must have been detected and retried")
+    val want = OracleFold.rows(OracleFold.finalState(
+      (0 until 20).map(i => ins(i.toLong, f"s$i%03d", 0, s"s$i")) ++ b1 ++ b2))
+    assert(readTable(spark, t).map(x => (x.conv_id, x.turn_idx, x.text)) ==
+      want.map(x => (x.conv_id, x.turn_idx, x.text)))
+  }
+
   test("two uncoordinated concurrent writers: both commit without manual re-apply") {
     val dir = tmpDir("mor-race2") + "/t"
     val t = IceLite.create(dir, turnSchema, 8)
