@@ -676,18 +676,36 @@ object CdcApply {
     * Pure struct re-projection inside the batch scan — no job, and
     * Catalyst prunes the dropped leaves out of the parquet scan.
     */
-  private def whitelistFields(events: DataFrame, spec: MergeSpec): DataFrame =
+  /** Field names of `afterT` surviving the whitelist projection: keys ∪
+    * whitelist ∪ spec-referenced columns (event-side names).
+    */
+  private def whitelistKeep(afterT: StructType, spec: MergeSpec): Seq[String] = {
+    val specCols: Set[String] =
+      if (spec.extractFields.nonEmpty || spec.payloadSchemas.nonEmpty ||
+        (spec.payloadTargetName.nonEmpty && spec.payloadTargetName != spec.extractSource))
+        Set(spec.extractSource)
+      else Set.empty
+    afterT.fieldNames.toSeq.filter(n =>
+      spec.upsertKeys.contains(n) || spec.deleteKeys.contains(n) ||
+        spec.fieldsWhitelist.contains(n) || specCols.contains(n))
+  }
+
+  /** The after-struct SHAPE surviving [[whitelistFields]] — for
+    * first-sight table creation (CdcStream), so a created state or
+    * event-log table never carries non-whitelisted columns at all.
+    */
+  private[graft] def whitelistedStruct(afterT: StructType, spec: MergeSpec): StructType =
+    if (spec.fieldsWhitelist.isEmpty) afterT
+    else {
+      val keep = whitelistKeep(afterT, spec).toSet
+      StructType(afterT.fields.filter(f => keep.contains(f.name)))
+    }
+
+  private[operators] def whitelistFields(events: DataFrame, spec: MergeSpec): DataFrame =
     if (spec.fieldsWhitelist.isEmpty) events
     else {
       val afterT = events.schema("after").dataType.asInstanceOf[StructType]
-      val specCols: Set[String] =
-        if (spec.extractFields.nonEmpty || spec.payloadSchemas.nonEmpty ||
-          (spec.payloadTargetName.nonEmpty && spec.payloadTargetName != spec.extractSource))
-          Set(spec.extractSource)
-        else Set.empty
-      val keep = afterT.fieldNames.toSeq.filter(n =>
-        spec.upsertKeys.contains(n) || spec.deleteKeys.contains(n) ||
-          spec.fieldsWhitelist.contains(n) || specCols.contains(n))
+      val keep = whitelistKeep(afterT, spec)
       if (keep.size == afterT.fields.length) events
       else events.withColumn("after",
         when(col("after").isNotNull, struct(keep.map(n => col(s"after.`$n`").as(n)): _*)))

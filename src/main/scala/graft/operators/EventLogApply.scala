@@ -41,6 +41,10 @@ object EventLogApply {
       spec: MergeSpec = MergeSpec(),
       epoch: Option[(String, Long)] = None): CdcApply.BatchResult = {
 
+    // fields.whitelist applies to EVERY landed surface: the raw event log
+    // keeping dropped (PII) columns would defeat the knob's purpose
+    val events0 = CdcApply.whitelistFields(events, spec)
+
     val snap0 = table.current
     epoch.foreach { case (sid, bid) =>
       val last = snap0.properties.get(s"epoch:$sid").map(_.toLong)
@@ -53,7 +57,7 @@ object EventLogApply {
     // after struct (comparing the struct as one opaque type would reject
     // both drift adds and harmless nested-nullability differences).
     // Resolved against the commit-time parent (CAS-safe under retry).
-    val incomingAfter = events.schema("after").dataType.asInstanceOf[StructType]
+    val incomingAfter = events0.schema("after").dataType.asInstanceOf[StructType]
     def evolveFrom(parent: IceLite.Snapshot): StructType = {
       val curAfter = org.apache.spark.sql.types.DataType
         .fromJson(parent.schemaJson).asInstanceOf[StructType]("after")
@@ -64,7 +68,7 @@ object EventLogApply {
       }
     }
 
-    val rows = events.select(
+    val rows = events0.select(
       col("op"), col("conv_id"), col("turn_idx"), col("after"), col("ts"),
       col("partition").as("_partition"), col("offset").as("_offset"))
 

@@ -186,7 +186,7 @@ object CdcStream {
   def start(spark: SparkSession, cfg: StreamConfig): StreamingQuery = {
     val table: Option[IceLiteTable] =
       if (cfg.routing.isDefined) None // routed tables are created on first sight of their topic
-      else Some(loadOrCreate(cfg.tableDir, renamedSchema(Schemas.transcript, cfg.spec), cfg.spec,
+      else Some(loadOrCreate(cfg.tableDir, specShapedSchema(Schemas.transcript, cfg.spec), cfg.spec,
         autoCreate = cfg.autoCreate))
     if (cfg.downstreamMirrors.nonEmpty || cfg.downstreamViews.nonEmpty ||
         cfg.downstreamHistories.nonEmpty) {
@@ -204,8 +204,10 @@ object CdcStream {
     // ones touched in the cadence epoch
     val routedTables = scala.collection.concurrent.TrieMap.empty[String, IceLiteTable]
     val logTable: Option[IceLiteTable] = cfg.eventLogTableDir.map { d =>
-      loadOrCreate(d, graft.operators.EventLogApply.logSchema(Schemas.transcript), cfg.spec,
-        logTable = true, autoCreate = cfg.autoCreate)
+      loadOrCreate(d,
+        graft.operators.EventLogApply.logSchema(
+          graft.operators.CdcApply.whitelistedStruct(Schemas.transcript, cfg.spec)),
+        cfg.spec, logTable = true, autoCreate = cfg.autoCreate)
     }
 
     // the pinned source schema; routing adds the topic column (in drift
@@ -331,7 +333,7 @@ object CdcStream {
                   // TARGET-side schema (applyBatch renames every event's
                   // payload field before evolution)
                   val tbl = routedTables.getOrElseUpdate(dir, loadOrCreate(dir,
-                    renamedSchema(slice.schema("after").dataType.asInstanceOf[StructType], cfg.spec),
+                    specShapedSchema(slice.schema("after").dataType.asInstanceOf[StructType], cfg.spec),
                     cfg.spec, autoCreate = cfg.autoCreate))
                   CdcApply.applyBatch(
                     spark, tbl, slice, cfg.spec,
@@ -479,6 +481,14 @@ object CdcStream {
     * (MergeSpec.payloadTargetName): the event-side payload field name is
     * replaced in place, everything else unchanged.
     */
+  /** First-sight creation shape: the after-struct after the
+    * fields.whitelist projection AND the payload target-column rename —
+    * the same two transforms applyBatch performs on every event, so a
+    * created table starts with exactly the columns that will land.
+    */
+  private def specShapedSchema(s: StructType, spec: MergeSpec): StructType =
+    renamedSchema(graft.operators.CdcApply.whitelistedStruct(s, spec), spec)
+
   private def renamedSchema(s: StructType, spec: MergeSpec): StructType =
     if (spec.payloadTargetName.isEmpty || spec.payloadTargetName == spec.extractSource) s
     else StructType(s.fields.map(f =>

@@ -248,6 +248,33 @@ class MorSpec extends SparkSuite {
     assert(referenced.nonEmpty)
   }
 
+  test("race retry merges the racer's schema evolution; neither writer's columns are lost") {
+    val dir = tmpDir("mor-race-evolve") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val b1 = (0 until 10).map(i => ins(i.toLong, f"a$i%03d", 0, s"a$i"))
+    val b2 = (0 until 10).map(i => ins((100 + i).toLong, f"b$i%03d", 0, s"b$i"))
+    // the racing writer's events carry a DRIFT column `extra`
+    val evs2 = eventsDF(spark, b2).withColumn("after",
+      when(col("after").isNotNull, struct(col("after.*"),
+        when(col("conv_id").isNotNull, lit("x")).as("extra")))) // when(): nullable, ALTER-ADD-able
+    CdcApply.testOnStaged.set(() => {
+      CdcApply.applyBatch(spark, t, evs2, epoch = Some(("e2", 0L)))
+      ()
+    })
+    // batch-1 (no drift column) staged against the pre-evolution parent;
+    // its retry must re-merge the schema over the racer's evolved one
+    val r1 = CdcApply.applyBatch(spark, t, eventsDF(spark, b1), epoch = Some(("e1", 0L)))
+    assert(!r1.skipped)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(t.current.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.contains("extra"), "racer's drift column must survive the retry commit")
+    val rows = t.read(spark).select("conv_id", "extra").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(rows.count(_._2.contains("x")) == 10, "racer's rows keep their drift value")
+    assert(rows.count(r => r._1.startsWith("a") && r._2.isEmpty) == 10,
+      "retried writer's rows widen the missing column to null")
+  }
+
   test("cow commit race: a concurrent rewrite of a touched bucket is re-merged, no lost update") {
     val dir = tmpDir("cow-race") + "/t"
     val t = IceLite.create(dir, turnSchema, 2) // 2 buckets: the writers WILL collide

@@ -53,6 +53,33 @@ class StreamingSpec extends SparkSuite {
     assert(stateTriples(table) == oracleTriples(collectLog(spark.read.parquet(s"$root/log"))))
   }
 
+  test("fields.whitelist end-to-end: state AND event-log tables carry only whitelisted columns") {
+    val root = tmpDir("stream-whitelist")
+    val cfg = ChangeLogGen.GenConfig(numEvents = 1500, numConvs = 20, maxTurns = 6, logPartitions = 2)
+    ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 2)
+    val spec = graft.model.MergeSpec(fieldsWhitelist = Seq("role", "text"))
+    val sc = CdcStream.StreamConfig(s"$root/log", s"$root/table", s"$root/ckpt",
+      spec = spec, eventLogTableDir = Some(s"$root/logtbl"))
+    val table = CdcStream.runAvailable(spark, sc)
+
+    def fields(json: String): Seq[String] = org.apache.spark.sql.types.DataType
+      .fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    // first-sight creation + ingest projection agree: tool/ts never land
+    assert(fields(table.current.schemaJson) == Seq("conv_id", "turn_idx", "role", "text"))
+    val logAfter = org.apache.spark.sql.types.DataType
+      .fromJson(IceLite.load(s"$root/logtbl").current.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("after")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(logAfter.fieldNames.toSeq == Seq("conv_id", "turn_idx", "role", "text"),
+      "the raw event log must not retain dropped (PII) columns either")
+    // whitelisting must not perturb the fold on surviving columns
+    // (select, not the TranscriptTurn decoder — tool/ts don't exist here)
+    val got = table.read(spark).select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2)).toSeq
+    val evs = collectLog(spark.read.parquet(s"$root/log"))
+    assert(got == oracleTriples(evs))
+  }
+
   test("resume from checkpoint: new log files processed, old ones not re-read") {
     val root = tmpDir("stream-resume")
     val cfg = ChangeLogGen.GenConfig(numEvents = 2000, numConvs = 30, maxTurns = 8, logPartitions = 2)
