@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.StructType
   * streaming — mirroring Iceberg snapshot summaries.
   *
   * Metadata scale (Iceberg's manifest-list idea, re-shaped for a linear
-  * single-writer log): each published v-file holds only the DIFF of the
+  * CAS-serialized log — concurrent writers serialize through the
+  * put-if-absent commit): each published v-file holds only the DIFF of the
   * per-bucket file lists against its parent — O(files added/replaced this
   * commit), NOT O(live files). A MOR append epoch therefore writes and a
   * tailing driver parses O(changes) metadata regardless of table size;
@@ -561,7 +562,8 @@ object IceLite {
     * into plain base files. Every row in a delta file carries the commit
     * sequence number `seq` (== the snapshot version that added it);
     * `lastDeltaSeq` is the high-water mark, enforced monotonic at commit
-    * (single-writer guard: a racing MOR commit with a stale seq aborts).
+    * (a racing MOR commit with a stale seq fails the check and is
+    * re-staged under a fresh seq by CdcApply's bounded retry).
     */
   final case class Snapshot(
       version: Long,
