@@ -24,19 +24,21 @@ object ScalingBench {
 
   private val benchDir = "/root/repo/BENCH"
 
-  /** Engine code version for the scaling-record key: git short SHA of the
-    * repo, suffixed "-dirty" when src/ has uncommitted changes. Records
-    * are only comparable (min-merged) within one engine version.
+  /** Engine code version for the scaling-record key: git short SHA of
+    * HEAD, suffixed "-dirty" when any BUILD INPUT (src/, build.sbt,
+    * project/) has uncommitted changes — docs don't dirty the key, but a
+    * doc-only commit still moves the SHA (conservative: records never
+    * merge across commits). None when git is unavailable: an unknowable
+    * engine version must never min-merge into the published record.
     */
-  private lazy val engineId: String = {
+  private lazy val engineId: Option[String] = {
     import scala.sys.process._
-    val sha =
-      try Process(Seq("git", "-C", "/root/repo", "rev-parse", "--short", "HEAD")).!!.trim
-      catch { case _: Exception => "unknown" }
-    val dirty =
-      try Process(Seq("git", "-C", "/root/repo", "status", "--porcelain", "--", "src")).!!.trim.nonEmpty
-      catch { case _: Exception => true }
-    if (dirty) s"$sha-dirty" else sha
+    try {
+      val sha = Process(Seq("git", "-C", "/root/repo", "rev-parse", "--short", "HEAD")).!!.trim
+      val dirty = Process(Seq("git", "-C", "/root/repo", "status", "--porcelain", "--",
+        "src", "build.sbt", "project")).!!.trim.nonEmpty
+      Some(if (dirty) s"$sha-dirty" else sha)
+    } catch { case _: Exception => None }
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,11 +84,15 @@ object ScalingBench {
     // differs): a min recorded against older code can never mask a
     // regression in the shipped code, and legacy rows (no SHA segment)
     // are automatically excluded from merging and reporting.
+    val engine = engineId.getOrElse {
+      println("[scaling] git unavailable — engine version unknowable, run not recorded in BENCH/")
+      return
+    }
     val cfg = Seq(
       sys.env.getOrElse("GRAFT_FOLD_ALIGN", graft.model.MergeSpec().foldAlignment),
       sys.env.getOrElse("GRAFT_MIN_PART", "64k"),
-      engineId).mkString("+")
-    val defaultCfg = Seq(graft.model.MergeSpec().foldAlignment, "64k", engineId).mkString("+")
+      engine).mkString("+")
+    val defaultCfg = Seq(graft.model.MergeSpec().foldAlignment, "64k", engine).mkString("+")
     if (cfg != defaultCfg || nEvents != 24000000L) {
       // A/B and off-protocol runs are diagnostics: print-only, never
       // written into the protocol record (they'd overwrite or min-merge

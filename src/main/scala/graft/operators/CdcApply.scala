@@ -61,6 +61,20 @@ object CdcApply {
   /** Total MOR commit races retried in this JVM (observability/test hook). */
   private[graft] val morRaceRetries = new java.util.concurrent.atomic.LongAdder
 
+  /** Best-effort removal of an abandoned stage dir (race retry / skipped
+    * epoch). The walk stream must be CLOSED — it holds directory fds, and
+    * a long-lived streaming driver leaking one per contended commit works
+    * toward EMFILE. Leftovers from a failed delete are swept by orphan GC.
+    */
+  private def dropStage(stage: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.{Files, Path}
+      val walk = Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
+
   /** Test seam: runs once after the first staging, before the first
     * commit attempt — lets a spec deterministically interleave a second
     * writer's commit into the race window. Consumed on use.
@@ -381,14 +395,6 @@ object CdcApply {
       val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
       (stage, staged, rowsWritten)
     }
-    def dropStage(stage: java.nio.file.Path): Unit =
-      try {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        Files.walk(stage).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () } // orphan GC sweeps leftovers
-
     // single-writer sequence: rows are stamped before the commit, so a
     // racing writer (which would steal this version) fails the CAS check
     // and this batch re-stages against the new parent (bounded retries)
@@ -499,9 +505,20 @@ object CdcApply {
     // that writer's rows (the COW twin of the MOR seq race). A detected
     // race re-reads, re-merges and re-stages (bounded retries).
     var cur = table.current
-    var schemaNow = evolved
     var attempt = 0
     while (true) {
+      // Schema is re-merged over `cur` EVERY iteration (not just after a
+      // detected race): a concurrent schema-evolving commit can land
+      // between applyBatch's snap0 read and this point — reading the
+      // touched buckets with the pre-evolution schema would silently drop
+      // that writer's new column from the rewritten files.
+      val schemaNow = SchemaEvolution.merge(
+        org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson).asInstanceOf[StructType],
+        evolved) match {
+        case Right(s) => s
+        case Left(reason) => throw new IllegalStateException(
+          s"COW apply: concurrent writer's schema is incompatible: $reason")
+      }
       val base = {
         val files = table.resolve(cur.files, Some(touched))
         val b =
@@ -511,7 +528,20 @@ object CdcApply {
         val deltaPaths = table.resolve(cur.deltas, Some(touched))
         if (deltaPaths.isEmpty) b else MorRead.merged(spark, schemaNow, b, deltaPaths)
       }
-      val merged = MergeEngine.merge(base, normActions, wipes)
+      // action rows were normalized to the pre-race schema; pad any
+      // racer-added columns with null so the merge projection resolves
+      val actionsNow = {
+        val rowT = normActions.schema("row").dataType.asInstanceOf[StructType]
+        if (rowT == schemaNow) normActions
+        else {
+          val have = rowT.fieldNames.toSet
+          normActions.withColumn("row", struct(schemaNow.fields.toSeq.map { f =>
+            (if (have.contains(f.name)) col(s"row.`${f.name}`").cast(f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)
+          }: _*))
+        }
+      }
+      val merged = MergeEngine.merge(base, actionsNow, wipes)
 
       val stage = table.newStageDir()
       // Skew-aware write partitioning (MergeSpec.writeSalts): a hot
@@ -547,22 +577,17 @@ object CdcApply {
         return BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
       } catch {
         case AlreadyApplied(_) =>
+          dropStage(stage)
           return BatchResult(table.current, skipped = true, 0L, 0L, 0L)
         case CommitRaced(msg) =>
           attempt += 1
+          dropStage(stage) // a COW stage is O(bucket state) — never orphan it to GC
           if (attempt > MorCommitRetries)
             throw new IllegalStateException(
               s"$msg — still racing after $MorCommitRetries re-merge attempts; " +
                 "a concurrent writer is livelocking this table, re-apply the batch manually.")
           morRaceRetries.increment()
-          cur = table.current
-          schemaNow = SchemaEvolution.merge(
-            org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson).asInstanceOf[StructType],
-            schemaNow) match {
-            case Right(s) => s
-            case Left(reason) => throw new IllegalStateException(
-              s"COW race retry: concurrent writer's schema is incompatible: $reason")
-          }
+          cur = table.current // loop head re-merges the schema from it
           System.err.println(s"[graft] COW commit race on ${table.dir} (attempt $attempt/" +
             s"$MorCommitRetries): re-merging against v${cur.version}")
       }
@@ -798,12 +823,23 @@ object CdcApply {
         throw CommitRaced(
           s"COW commit raced on ${table.dir}: buckets ${stale.toSeq.sorted.mkString(",")} " +
             s"changed between base read (v${cur.version}) and commit (parent v${parent.version})")
+      // The touched-bucket check admits a concurrent commit to DISJOINT
+      // buckets (correct: no data conflict) — but that commit may have
+      // evolved the schema, so the published schema must merge OVER the
+      // fresh parent's, never overwrite it with this batch's older view.
+      val schemaOut = SchemaEvolution.merge(
+        org.apache.spark.sql.types.DataType.fromJson(parent.schemaJson).asInstanceOf[StructType],
+        evolved) match {
+        case Right(s) => s
+        case Left(reason) => throw new IllegalStateException(
+          s"COW commit: concurrent writer's schema is incompatible: $reason")
+      }
       val newFiles = (parent.files -- touched.toSeq) ++
         staged ++
         // a touched bucket whose merge produced no rows becomes empty
         (touched -- staged.keySet).map(_ -> Seq.empty[String]).toMap
       parent.copy(
-        schemaJson = evolved.json,
+        schemaJson = schemaOut.json,
         files = newFiles.filter(_._2.nonEmpty),
         // the COW rewrite folded any outstanding deltas of these buckets
         deltas = (parent.deltas -- touched.toSeq).filter(_._2.nonEmpty),

@@ -38,8 +38,15 @@ object ContentQueries {
     // evict entries of stopped sessions: a long-lived JVM cycling sessions
     // (test suites, notebooks) must not pin dead session graphs forever
     shared.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-    shared.getOrElseUpdate((s, dir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    shared.getOrElseUpdate((s, dir, key), {
+      val df = build
+      // a build block may persist (and even force) its result itself —
+      // e.g. lshCandidatesCached, which needs the materialization inside
+      // the block to harvest diagnostics; don't double-persist it
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    })
   }
 
   /** Number of memoized pipeline entries this session currently holds.
@@ -190,9 +197,8 @@ object ContentQueries {
     * banded frame is unpersisted before returning, so only the pair-sized
     * result stays cached.
     */
-  private def lshCandidatesCached(s: SparkSession, dir: String): DataFrame = {
-    shared.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-    shared.getOrElseUpdate((s, dir, "lshCandidates"), {
+  private def lshCandidatesCached(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "lshCandidates") {
       import org.apache.spark.storage.StorageLevel
       val (result0, counted, sigd) = lshCandidates(t(s, dir, "documents"))
       sigd.persist(StorageLevel.MEMORY_AND_DISK)
@@ -217,8 +223,7 @@ object ContentQueries {
       counted.unpersist(blocking = false)
       sigd.unpersist(blocking = false)
       result
-    })
-  }
+    }
 
   /** LSH-gated exact n-gram Jaccard (q21; reused by the q32 keep-list):
     * candidates from the q19 banding, exact char-3-gram Jaccard computed
