@@ -207,15 +207,22 @@ object Bench {
       // warms those code paths; its memo entries are evicted before the
       // measured phase so q19 still times the real sfDir BUILD.
       val wd = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench-warmdocs").toString
-      import spark.implicits._
-      (0 until 200).map(i =>
-        (i.toLong, s"warm doc $i where the table scan merge filter join query runs $i times", "en", "w", 60L))
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode("overwrite").parquet(s"$wd/documents.parquet")
-      SparkEntry.queries.get("q19_dedup_minhash_lsh").foreach(_(spark, wd).count())
-      SparkEntry.queries.get("q21_dedup_ngram_jaccard").foreach(_(spark, wd).count())
-      graft.queries.ContentQueries.clearShared(spark)
-      deleteRecursively(wd)
+      // finally, not fall-through: a failed warmup count() must still
+      // evict the warm corpus' memo caches and temp parquet, or the 38
+      // measured queries run with persisted warm-doc blocks pinned in
+      // executor storage memory and the scratch dir still on tmpfs.
+      try {
+        import spark.implicits._
+        (0 until 200).map(i =>
+          (i.toLong, s"warm doc $i where the table scan merge filter join query runs $i times", "en", "w", 60L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$wd/documents.parquet")
+        SparkEntry.queries.get("q19_dedup_minhash_lsh").foreach(_(spark, wd).count())
+        SparkEntry.queries.get("q21_dedup_ngram_jaccard").foreach(_(spark, wd).count())
+      } finally {
+        graft.queries.ContentQueries.clearShared(spark)
+        deleteRecursively(wd)
+      }
     } catch { case _: Throwable => () }
 
     val spinPre = spinProbeMs()

@@ -64,16 +64,27 @@ object CdcApply {
   /** Best-effort removal of an abandoned stage dir (race retry / skipped
     * epoch). The walk stream must be CLOSED — it holds directory fds, and
     * a long-lived streaming driver leaking one per contended commit works
-    * toward EMFILE. Leftovers from a failed delete are swept by orphan GC.
+    * toward EMFILE. Catches the UNCHECKED I/O wrappers too: Files.walk's
+    * lazy iteration surfaces errors as UncheckedIOException /
+    * DirectoryIteratorException, and this runs inside the AlreadyApplied
+    * and CommitRaced handlers — a cleanup hiccup must never turn a
+    * retryable race (or an idempotent skip) into an epoch failure.
+    * Leftovers from a failed delete persist (never-referenced files are
+    * invisible to snapshot-based GC) but are inert: stage dirs are
+    * per-commit UUIDs, so nothing ever reads or collides with them.
     */
-  private def dropStage(stage: java.nio.file.Path): Unit =
+  private[operators] def dropStage(stage: java.nio.file.Path): Unit =
     try {
       import java.nio.file.{Files, Path}
       val walk = Files.walk(stage)
       try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case _: java.io.IOException => ()
+      case _: java.io.UncheckedIOException => ()
+      case _: java.nio.file.DirectoryIteratorException => ()
+    }
 
   /** Test seam: runs once after the first staging, before the first
     * commit attempt — lets a spec deterministically interleave a second
@@ -691,16 +702,6 @@ object CdcApply {
     }
   }
 
-  /** Ingest-time value-field whitelist (reference `fields.whitelist`,
-    * `.../sink/metadata/FieldsMetadata.java:79-162`): project the
-    * after-struct down to keys ∪ whitelist ∪ spec-referenced columns.
-    * Runs BEFORE extraction (which reads [[MergeSpec.extractSource]] —
-    * kept implicitly while extraction or the payload rename is
-    * configured, same rule as the routed-slice projection) and before
-    * schema evolution, so dropped fields never become table columns.
-    * Pure struct re-projection inside the batch scan — no job, and
-    * Catalyst prunes the dropped leaves out of the parquet scan.
-    */
   /** Field names of `afterT` surviving the whitelist projection: keys ∪
     * whitelist ∪ spec-referenced columns (event-side names).
     */
@@ -726,6 +727,16 @@ object CdcApply {
       StructType(afterT.fields.filter(f => keep.contains(f.name)))
     }
 
+  /** Ingest-time value-field whitelist (reference `fields.whitelist`,
+    * `.../sink/metadata/FieldsMetadata.java:79-162`): project the
+    * after-struct down to keys ∪ whitelist ∪ spec-referenced columns.
+    * Runs BEFORE extraction (which reads [[MergeSpec.extractSource]] —
+    * kept implicitly while extraction or the payload rename is
+    * configured, same rule as the routed-slice projection) and before
+    * schema evolution, so dropped fields never become table columns.
+    * Pure struct re-projection inside the batch scan — no job, and
+    * Catalyst prunes the dropped leaves out of the parquet scan.
+    */
   private[operators] def whitelistFields(events: DataFrame, spec: MergeSpec): DataFrame =
     if (spec.fieldsWhitelist.isEmpty) events
     else {

@@ -106,7 +106,13 @@ object EventLogApply {
       }
       CdcApply.BatchResult(snap, skipped = false, rowsWritten, rowsWritten, 0L)
     } catch {
-      case AlreadyApplied => CdcApply.BatchResult(table.current, skipped = true, 0L, 0L, 0L)
+      case AlreadyApplied =>
+        // Duplicate delivery that lost the commit CAS: the staged delta
+        // was never referenced by any snapshot, so snapshot-based GC can
+        // never reclaim it — drop it here (same symmetry as CdcApply's
+        // race/skip paths).
+        CdcApply.dropStage(stage)
+        CdcApply.BatchResult(table.current, skipped = true, 0L, 0L, 0L)
     }
   }
 }

@@ -204,25 +204,36 @@ object ContentQueries {
       sigd.persist(StorageLevel.MEMORY_AND_DISK)
       counted.persist(StorageLevel.MEMORY_AND_DISK)
       val result = result0.persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE action both materializes the persisted result (through the
-      // transient caches) and harvests the cap's dropped-volume stats —
-      // fusing them saves a whole extra job of fixed scheduling/codegen
-      // cost (measured ~0.5s at test SF).
-      val stats = result
-        .agg(lit("pairs").as("tag"), count(lit(1)).as("x"), count(lit(1)).as("y"))
-        .unionAll(counted.filter(col("gcnt") > LshBandGroupCap)
-          .agg(lit("dropped").as("tag"),
-            count_distinct(col("band"), col("bv")).as("x"), count(lit(1)).as("y")))
-        .collect()
-      val drop = stats.find(_.getString(0) == "dropped").get
-      lastLshDrop = (drop.getLong(1), drop.getLong(2))
-      if (drop.getLong(1) > 0L)
-        System.err.println(s"[q19] band cap $LshBandGroupCap dropped ${drop.getLong(1)} hot " +
-          s"band groups covering ${drop.getLong(2)} doc-band rows (near-identical boilerplate; " +
-          "exact duplicates were star-linked before banding)")
-      counted.unpersist(blocking = false)
-      sigd.unpersist(blocking = false)
-      result
+      // finally/catch, not fall-through: if the forced build fails, no
+      // memo entry exists to unpersist these later — a long-lived session
+      // retrying q19 would otherwise stack fresh O(corpus) persisted
+      // copies of sigd/counted (and the orphaned result) on every attempt.
+      try {
+        // ONE action both materializes the persisted result (through the
+        // transient caches) and harvests the cap's dropped-volume stats —
+        // fusing them saves a whole extra job of fixed scheduling/codegen
+        // cost (measured ~0.5s at test SF).
+        val stats = result
+          .agg(lit("pairs").as("tag"), count(lit(1)).as("x"), count(lit(1)).as("y"))
+          .unionAll(counted.filter(col("gcnt") > LshBandGroupCap)
+            .agg(lit("dropped").as("tag"),
+              count_distinct(col("band"), col("bv")).as("x"), count(lit(1)).as("y")))
+          .collect()
+        val drop = stats.find(_.getString(0) == "dropped").get
+        lastLshDrop = (drop.getLong(1), drop.getLong(2))
+        if (drop.getLong(1) > 0L)
+          System.err.println(s"[q19] band cap $LshBandGroupCap dropped ${drop.getLong(1)} hot " +
+            s"band groups covering ${drop.getLong(2)} doc-band rows (near-identical boilerplate; " +
+            "exact duplicates were star-linked before banding)")
+        result
+      } catch {
+        case e: Throwable =>
+          result.unpersist(blocking = false)
+          throw e
+      } finally {
+        counted.unpersist(blocking = false)
+        sigd.unpersist(blocking = false)
+      }
     }
 
   /** LSH-gated exact n-gram Jaccard (q21; reused by the q32 keep-list):
