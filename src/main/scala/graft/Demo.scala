@@ -135,6 +135,12 @@ object Demo {
           .when(pmod(col("offset"), lit(3)) === 1, lit("""{"call":{"tool":"search","latency":42}}"""))
           .otherwise(lit("""{"other":true}""")).as("text"),
         col("after.tool"), col("after.ts"))))
+      // materialized: stacking the payload-rewrite when() on top of the
+      // generator's expression graph and inlining it once per extract
+      // column blows janino's 64KB method limit (interpreted fallback,
+      // logged as a codegen ERROR). Production ingest reads events from
+      // storage — extraction there sees plain attributes, never this.
+      .localCheckpoint()
     val msRes = CdcApply.applyBatch(spark, msTable, msEvents, msSpec,
       epoch = Some(("ms", 0L)), rejectedDir = Some(s"$dir/ms-rej"))
     val msRows = msTable.read(spark).select("conv_id", "kind", "score")
