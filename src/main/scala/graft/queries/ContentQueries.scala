@@ -691,6 +691,80 @@ object ContentQueries {
           shard.as("shard"))
     }),
 
+    // Intra-document repetition (Gopher-style quality signals): the
+    // most-frequent word's share of all tokens and the duplicate-bigram
+    // share, both integer-scaled ×1000 for exact oracle parity. One
+    // explode feeds two per-doc hash aggregations — partial (map-side)
+    // aggregation collapses each document's tokens before the shuffle,
+    // so the exchange carries per-(doc, word) counts, not raw tokens.
+    "q45_text_repetition" -> ((s, dir) => {
+      val w = t(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val top = w.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max("cnt").as("max_cnt"), sum("cnt").as("n_words"))
+      val gr = w.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(wordShingles(2))).as("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_gr"), count_distinct(col("g")).as("d_gr"))
+      top.join(gr, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("max_cnt"), col("n_words"),
+          expr("(max_cnt * 1000) div n_words").as("top_word_x1000"),
+          coalesce(expr("((n_gr - d_gr) * 1000) div n_gr"), lit(0L)).as("dup_bigram_x1000"))
+    }),
+
+    // Per-document keyword extraction: tf-idf ranking with a LINEAR idf
+    // in exact integer arithmetic (score = tf·10⁶ div df — monotone in
+    // tf/df at fixed corpus size, so the top-k matches the float tf·idf
+    // family while hashing bit-for-bit against the oracle; no ln() whose
+    // last ulp could differ between engines). tf is a map-side-combined
+    // hash agg; the document-frequency side is vocabulary-sized and
+    // joins on the well-distributed word key; top-3 per doc via one
+    // window over per-doc groups (tiny partitions — never a global sort).
+    "q46_keyword_tfidf" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfq = words.groupBy("w").agg(count_distinct(col("doc_id")).as("df"))
+      val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
+      tf.join(dfq, "w")
+        .withColumn("score", expr("(tf * 1000000) div df"))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("w"), col("tf"), col("df"), col("score"), col("rank"))
+    }),
+
+    // Corpus vocabulary profile per source (Heaps-law monitoring for a
+    // growing corpus): token count, distinct-word count, and the
+    // integer-scaled type-token ratio. count_distinct plans as a
+    // two-level aggregate — the first level dedups (source, w) map-side,
+    // so the shuffle is vocabulary-sized, not token-sized.
+    "q47_vocab_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("tokens"), count_distinct(col("w")).as("vocab"))
+        .select(col("source"), col("tokens"), col("vocab"),
+          expr("(vocab * 1000) div tokens").as("ttr_x1000"))
+    }),
+
+    // Label centroids over the embedding table — the k-means/IVF-training
+    // primitive — in EXACT integer arithmetic: elements quantize to
+    // ×1000 longs and sum per (label, dim). Integer addition is
+    // associative, so Spark's unordered partial aggregation cannot
+    // desync from the oracle the way float sums would (order-dependent
+    // last-ulp drift). posexplode + one hash agg: the shuffle carries
+    // (label, dim) partial sums — numLabels × dims rows — regardless of
+    // corpus size.
+    "q48_embed_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))"))
+          .as(Seq("dim", "q")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+        .select(col("label"), col("dim"), col("n"),
+          expr("sum_q div n").as("centroid_x1000"))
+    }),
+
     // ===================== multimodal plumbing =====================
     "q29_mm_decode" -> ((s, dir) => {
       Multimodal.decode(s, Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -934,5 +1008,45 @@ object ContentQueries {
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_src FROM bysrc)
         |SELECT source, docs, tokens, (total * 1000) // (n_src * tokens) AS weight_x1000
-        |FROM bysrc, tot""".stripMargin)
+        |FROM bysrc, tot""".stripMargin,
+
+    "q45_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS cnt
+        |       FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY doc_id, w),
+        |top AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |               CAST(sum(cnt) AS BIGINT) AS n_words FROM tf GROUP BY doc_id),
+        |gr AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+        |       FROM w WHERE len(ws) >= 2),
+        |grs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gr,
+        |               CAST(count(DISTINCT g) AS BIGINT) AS d_gr FROM gr GROUP BY doc_id)
+        |SELECT t.doc_id, t.max_cnt, t.n_words,
+        |  (t.max_cnt * 1000) // t.n_words AS top_word_x1000,
+        |  CAST(coalesce((g.n_gr - g.d_gr) * 1000 // g.n_gr, 0) AS BIGINT) AS dup_bigram_x1000
+        |FROM top t LEFT JOIN grs g USING (doc_id)""".stripMargin,
+
+    "q46_keyword_tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY doc_id, w),
+        |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM words GROUP BY w),
+        |scored AS (SELECT doc_id, w, tf, df, (tf * 1000000) // df AS score FROM tf JOIN df USING (w)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
+        |           FROM scored)
+        |SELECT doc_id, w, tf, df, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q47_vocab_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+        | CAST(count(DISTINCT w) AS BIGINT) AS vocab,
+        | (count(DISTINCT w) * 1000) // count(*) AS ttr_x1000
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY source""".stripMargin,
+
+    "q48_embed_centroids" ->
+      """WITH q AS (SELECT label,
+        |  unnest(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q,
+        |  CAST(unnest(range(len(embedding))) AS INT) AS dim
+        | FROM embeddings)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(q) AS BIGINT) // count(*) AS centroid_x1000
+        |FROM q GROUP BY label, dim""".stripMargin)
 }

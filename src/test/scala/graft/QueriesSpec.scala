@@ -159,6 +159,71 @@ class QueriesSpec extends SparkSuite {
     assert(m.join(emb, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("q45 repetition: fractions in [0,1000]; an all-same-word doc maxes out") {
+    val rows = SparkEntry.queries("q45_text_repetition")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getAs[Long]("top_word_x1000")
+      val dup = r.getAs[Long]("dup_bigram_x1000")
+      assert(top >= 0 && top <= 1000, r.toString)
+      assert(dup >= 0 && dup <= 1000, r.toString)
+      assert(r.getAs[Long]("max_cnt") <= r.getAs[Long]("n_words"), r.toString)
+    }
+    // fixture check on a synthetic frame: "a a a a" → top share 1000,
+    // 3 bigrams all "a a" → dup share (3-1)*1000/3 = 666
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q45fix").toString
+    Seq((1L, "a a a a", "en", "t", 7L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val fix = SparkEntry.queries("q45_text_repetition")(spark, tmp).collect().head
+    assert(fix.getAs[Long]("top_word_x1000") == 1000L)
+    assert(fix.getAs[Long]("dup_bigram_x1000") == 666L)
+  }
+
+  test("q46 keywords: ≤3 per doc, ranks dense from 1, score consistent with tf/df") {
+    val rows = SparkEntry.queries("q46_keyword_tfidf")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      // ranks follow (score desc, w asc)
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
+          assert(sa > sb || (sa == sb && a.getAs[String]("w") < b.getAs[String]("w")))
+        case _ => ()
+      }
+    }
+    rows.foreach(r => assert(
+      r.getAs[Long]("score") == r.getAs[Long]("tf") * 1000000L / r.getAs[Long]("df"), r.toString))
+  }
+
+  test("q47 vocab: vocab ≤ tokens; per-source vocab ≥ global distinct floor sanity") {
+    val rows = SparkEntry.queries("q47_vocab_stats")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("tokens"), r.toString)
+      assert(r.getAs[Long]("ttr_x1000") == r.getAs[Long]("vocab") * 1000L / r.getAs[Long]("tokens"))
+    }
+  }
+
+  test("q48 centroids: one row per (label, dim); n = label cardinality; centroid bounded by data") {
+    val rows = SparkEntry.queries("q48_embed_centroids")(spark, dir).collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dims = emb.select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    assert(dims.length == 1, "fixed-width embedding table expected")
+    val labelCounts = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.length == labelCounts.size * dims.head)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == labelCounts(r.getAs[Int]("label")), r.toString)
+      // quantized elements live in [-1000, 1000] for unit-ish embeddings;
+      // the integer mean must stay within the quantized data range
+      assert(math.abs(r.getAs[Long]("centroid_x1000")) <= 1001L, r.toString)
+    }
+  }
+
   test("entry: flagship engine pipeline yields rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
