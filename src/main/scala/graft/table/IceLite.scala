@@ -228,6 +228,82 @@ final class IceLiteTable(val dir: String) {
   def readChanges(spark: SparkSession, fromVersion: Long, toVersion: Long = -1L): DataFrame =
     ChangeFeed.read(spark, this, fromVersion, toVersion)
 
+  // ------------------------------------------------------------------
+  // Named refs + rollback (B10)
+  // ------------------------------------------------------------------
+
+  private val refsDir = Paths.get(dir, "refs")
+
+  /** Named refs: human-named pointers to snapshot versions — the
+    * reproducibility primitive a training pipeline needs ("the exact
+    * corpus run 17 trained on") and the anchor that stops
+    * [[expireSnapshots]] from GC'ing a snapshot still referenced by
+    * name. One tiny file per ref; re-tagging a name repoints it
+    * (atomic replace, last writer wins — git-tag -f semantics).
+    * Analogue: Iceberg table refs; the reference engine has no table
+    * format, so no reference citation applies.
+    */
+  def tags: Map[String, Long] =
+    if (!Files.isDirectory(refsDir)) Map.empty
+    else listDir(refsDir)(_.filter(p => !p.getFileName.toString.startsWith(".")).toSeq)
+      .flatMap { p =>
+        scala.util.Try(p.getFileName.toString -> Files.readString(p).trim.toLong).toOption
+      }.toMap
+
+  /** Tag `version` (default: current) as `name`. Validates the snapshot
+    * is readable before pointing at it. Returns the tagged version.
+    */
+  def tag(name: String, version: Long = -1L): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "-_.".contains(c)),
+      s"ref name '$name' must be [A-Za-z0-9._-]+")
+    val v = if (version < 0) currentVersion else version
+    snapshot(v) // throws if the version never existed or is already expired
+    Files.createDirectories(refsDir)
+    // atomic REPLACE (not writeAtomically's put-if-absent): re-tagging
+    // must repoint the name, and a reader never sees a partial file
+    val tmp = refsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, refsDir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Drop ref `name`; its snapshot becomes expirable again. */
+  def dropTag(name: String): Boolean = Files.deleteIfExists(refsDir.resolve(name))
+
+  /** Time travel by name: [[readAt]] the version ref `name` points to. */
+  def readAtTag(spark: SparkSession, name: String,
+                buckets: Option[Set[Int]] = None): DataFrame =
+    readAt(spark, tags.getOrElse(name,
+      throw new NoSuchElementException(s"no ref '$name' on table $dir")), buckets)
+
+  /** Roll the table's CURRENT state back to `toVersion`'s (bad-batch
+    * recovery): commits a NEW snapshot carrying the target's exact
+    * file/delta/schema/property state. History is preserved — the bad
+    * versions stay time-travelable until expiry — and the operation
+    * composes with concurrent writers through the normal commit CAS.
+    * Copying the target's properties also rolls back the epoch
+    * high-water bookkeeping, so a redelivery of a rolled-back epoch
+    * APPLIES again instead of being skipped — exactly-once semantics
+    * follow the state, not the wall clock. `lastDeltaSeq` is the
+    * target's (its delta rows all carry seq ≤ it); the next MOR commit
+    * stamps seq = version+1, which is strictly above any row in the
+    * restored delta set.
+    */
+  def rollback(toVersion: Long): Snapshot = {
+    // validate eagerly: commit's build callback may retry under CAS, and
+    // the version check can only become MORE true as the parent advances
+    require(toVersion >= 1 && toVersion <= currentVersion,
+      s"rollback target v$toVersion is outside [1, v$currentVersion]")
+    val target = snapshot(toVersion)
+    commit { parent =>
+      target.copy(properties = target.properties +
+        ("rollback.to" -> toVersion.toString) +
+        ("rollback.from" -> parent.version.toString))
+    }
+  }
+
   private def readSnapshotState(
       spark: SparkSession, s: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
     val sch = schemaOf(s)
@@ -306,7 +382,15 @@ final class IceLiteTable(val dir: String) {
       case (prev :: rest, v) if v == prev + 1 => v :: prev :: rest
       case (_, v)                             => List(v)
     }.reverse
-    val keep = suffix.takeRight(keepN)
+    // tagged versions are pinned: the keep window extends DOWN to the
+    // oldest readable tagged version, keeping the contiguous diff chain
+    // above it (the expiry boundary below gets a checkpoint, so the
+    // tagged snapshot stays foldable forever). Tags pointing outside the
+    // foldable suffix are already unreadable — they don't pin anything.
+    val suffixSet = suffix.toSet
+    val minTagged = tags.values.filter(suffixSet).reduceOption(_ min _)
+    val cut = suffix.takeRight(keepN).head
+    val keep = suffix.dropWhile(_ < math.min(cut, minTagged.getOrElse(cut)))
     val keepSet = keep.toSet
     val drop = versions.filterNot(keepSet)
     if (drop.isEmpty) return (0, 0)

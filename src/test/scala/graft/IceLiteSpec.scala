@@ -325,6 +325,69 @@ class IceLiteSpec extends SparkSuite {
     assert(triples(t.read(spark)) == Seq(("c1", 0, "second")))
     assert(triples(t.readAt(spark, t.currentVersion)) == triples(t.read(spark)))
   }
+
+  private def texts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("text").collect().map(_.getString(0)).sorted.toSeq
+
+  test("refs: tag/readAtTag/dropTag; re-tag repoints; bad names and versions rejected") {
+    val dir = tmpDir("icelite-refs")
+    val t = IceLite.create(s"$dir/t", TestHelpers.turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "a"))))
+    val v1 = t.tag("run-1")
+    assert(v1 == t.currentVersion && t.tags == Map("run-1" -> v1))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ups(1L, "c1", 0, "b"))))
+    assert(texts(t.readAtTag(spark, "run-1")) == Seq("a"))
+    // re-tag repoints (git tag -f semantics)
+    t.tag("run-1")
+    assert(texts(t.readAtTag(spark, "run-1")) == Seq("b"))
+    assert(t.dropTag("run-1") && t.tags.isEmpty && !t.dropTag("run-1"))
+    intercept[IllegalArgumentException](t.tag("bad name"))
+    intercept[Exception](t.tag("ghost", 999L))
+    intercept[NoSuchElementException](t.readAtTag(spark, "nope"))
+  }
+
+  test("rollback: state returns to target, history preserved, epoch bookkeeping rolls back") {
+    val dir = tmpDir("icelite-rb")
+    val t = IceLite.create(s"$dir/t", TestHelpers.turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "good"))), epoch = Some(("q", 0L)))
+    val goodV = t.currentVersion
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ups(1L, "c1", 0, "bad"))), epoch = Some(("q", 1L)))
+    val badV = t.currentVersion
+    val rb = t.rollback(goodV)
+    assert(rb.version == badV + 1)
+    assert(texts(t.read(spark)) == Seq("good"))
+    // the bad version stays time-travelable until expiry
+    assert(texts(t.readAt(spark, badV)) == Seq("bad"))
+    // epoch high-water rolled back with the state: redelivering the bad
+    // epoch APPLIES (and lands the fix), instead of being skipped
+    val r = CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ups(1L, "c1", 0, "fixed"))), epoch = Some(("q", 1L)))
+    assert(!r.skipped)
+    assert(texts(t.read(spark)) == Seq("fixed"))
+    // rolling back "above" current is rejected
+    intercept[IllegalArgumentException](t.rollback(t.currentVersion + 5))
+  }
+
+  test("expiry pins tagged versions: tagged snapshot stays readable, untagged below expire") {
+    val dir = tmpDir("icelite-refs-exp")
+    val t = IceLite.create(s"$dir/t", TestHelpers.turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "v-old"))))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(1L, "c2", 0, "tagged-state"))))
+    val pinned = t.tag("pin")
+    (2 to 5).foreach(i =>
+      CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ups(i.toLong, "c1", 0, s"v$i")))))
+    val (dropped, _) = t.expireSnapshots(keepLast = 1)
+    assert(dropped > 0)
+    // pinned version (and everything above it) survived, fully readable
+    assert(texts(t.readAtTag(spark, "pin")) == Seq("tagged-state", "v-old"))
+    // versions below the pin are gone
+    intercept[Exception](t.readAt(spark, pinned - 1).collect())
+    // dropping the tag releases the pin: next expiry reclaims it
+    t.dropTag("pin")
+    val (dropped2, _) = t.expireSnapshots(keepLast = 1)
+    assert(dropped2 > 0)
+    intercept[Exception](t.readAt(spark, pinned).collect())
+    assert(texts(t.read(spark)) == Seq("tagged-state", "v5"))
+  }
 }
 
 /** Test helper: commit with CAS-retry loop (IceLiteTable.commit throws on
