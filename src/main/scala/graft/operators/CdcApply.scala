@@ -203,7 +203,7 @@ object CdcApply {
           sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"),
           sum(when(isWipe, 1L).otherwise(0L)).as("n_wipes")) ++
           (if (withBuckets) Seq(collect_set(when(col("_error").isNull,
-            MergeEngine.bucketOf(col("conv_id"), table.numBuckets))).as("buckets")) else Nil)
+            MergeEngine.bucketOf(col("conv_id"), snap0.numBuckets))).as("buckets")) else Nil)
         tagged.groupBy("partition").agg(aggs.head, aggs.tail: _*).collect()
       }
       def writeQuarantine(rejectedCount: Long): Unit =
@@ -278,7 +278,7 @@ object CdcApply {
           // non-join frame makes Spark log "broadcast ... not part of a
           // join relation" every epoch
           val wipes = if (nWipes <= WipeBroadcastMax) broadcast(wipes0) else wipes0
-          val aligned = if (spec.foldAlignment == "bucket") Some(table.numBuckets) else None
+          val aligned = if (spec.foldAlignment == "bucket") Some(snap0.numBuckets) else None
           val actions =
             if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
             else MergeEngine.netActionsViaJoin(valid, wipes)
@@ -330,7 +330,7 @@ object CdcApply {
             return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
           }
           val r = applyCow(spark, table, normalize(actions), wipes, touched, evolved, spec, epoch, lineage,
-            eventsSeen, rejectedCount)
+            eventsSeen, rejectedCount, nbPlan = snap0.numBuckets)
           if (epoch.isEmpty) writeQuarantine(rejectedCount)
           r
       }
@@ -368,12 +368,17 @@ object CdcApply {
       quarantine: Long => Unit,
       preAligned: Boolean): BatchResult = {
 
+    // the bucket layout this batch stages under, pinned ONCE: the commit
+    // retry loop re-reads the parent, and if a rebucket landed meanwhile
+    // the staged bucket assignment is stale — fenced below, never retried
+    val nb0 = snap0.numBuckets
+
     val wipeRows = wipes.select(
       col("conv_id"),
       lit(null).cast("int").as("turn_idx"),
       lit(NetAction.Wipe).as("action"),
       lit(null).cast(evolved).as("row"))
-      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), nb0))
     // Bucket-aligned actions (MergeSpec.foldAlignment="bucket", flagged
     // explicitly by the caller) arrive already exchanged + grouped on
     // the bucket key: write them AS IS — each task holds exactly one
@@ -385,7 +390,7 @@ object CdcApply {
         normActions.select(col("bucket"), col("conv_id"), col("turn_idx"), col("action"), col("row"))
       else normActions
         .select(col("conv_id"), col("turn_idx"), col("action"), col("row"))
-        .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+        .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), nb0))
     // Delta files are TRANSIENT (folded into zstd'd, sorted, bloom'd base
     // files at compaction): write them LSM-L0 style — light compression,
     // no sort, no bloom. MOR readers scan a touched bucket's deltas fully
@@ -471,6 +476,13 @@ object CdcApply {
                 "a concurrent writer is livelocking this table, re-apply the batch manually.")
           morRaceRetries.increment()
           parent0 = table.current
+          // rebucket fence: the re-stage below re-uses actionRows, whose
+          // bucket column was computed under nb0 — committing it against
+          // a re-bucketed parent would land rows in wrong buckets
+          if (parent0.numBuckets != nb0)
+            throw new IllegalStateException(
+              s"table ${table.dir} was re-bucketed ($nb0 -> ${parent0.numBuckets}) while " +
+                "this batch was staged under the old layout — re-apply the batch")
           // the racer may have evolved the schema: merge ours over the
           // committed one (delta rows keep THIS batch's struct — readers
           // widen missing nested fields to null, ALTER-ADD semantics)
@@ -505,7 +517,8 @@ object CdcApply {
       epoch: Option[(String, Long)],
       lineage: Array[org.apache.spark.sql.Row],
       eventsSeen: Long,
-      rejectedCount: Long): BatchResult = {
+      rejectedCount: Long,
+      nbPlan: Int): BatchResult = {
 
     // COW applies on top of the CURRENT state: any outstanding MOR deltas
     // of the touched buckets are folded in first (strategy hand-off).
@@ -516,6 +529,16 @@ object CdcApply {
     // that writer's rows (the COW twin of the MOR seq race). A detected
     // race re-reads, re-merges and re-stages (bounded retries).
     var cur = table.current
+    // rebucket fence, COW flavor: `touched` was computed under nbPlan
+    // (the planning snapshot's layout) — a rebucket landing anywhere
+    // between planning and commit would make the bucket replacement
+    // (and the staged bucket column) wrong, so abort instead of staging
+    // or retrying against a moved layout
+    val nb0 = nbPlan
+    if (cur.numBuckets != nb0)
+      throw new IllegalStateException(
+        s"table ${table.dir} was re-bucketed ($nb0 -> ${cur.numBuckets}) while this " +
+          "batch was planned under the old layout — re-apply the batch")
     var attempt = 0
     while (true) {
       // Schema is re-merged over `cur` EVERY iteration (not just after a
@@ -562,7 +585,7 @@ object CdcApply {
       // fixed salting available for extreme known skew. Files stay
       // bucket-pure via partitionBy, so pruning is unaffected. AQE handles
       // the join side; this handles the write side.
-      val withBucket = merged.withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+      val withBucket = merged.withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), nb0))
       val partitioned = spec.writeSalts match {
         case 0 => withBucket.hint("rebalance", "bucket") // AQE splits hot buckets, coalesces cold
         case 1 => withBucket.repartition(col("bucket"))
@@ -599,6 +622,10 @@ object CdcApply {
                 "a concurrent writer is livelocking this table, re-apply the batch manually.")
           morRaceRetries.increment()
           cur = table.current // loop head re-merges the schema from it
+          if (cur.numBuckets != nb0)
+            throw new IllegalStateException(
+              s"table ${table.dir} was re-bucketed ($nb0 -> ${cur.numBuckets}) while " +
+                "this batch was staged under the old layout — re-apply the batch")
           System.err.println(s"[graft] COW commit race on ${table.dir} (attempt $attempt/" +
             s"$MorCommitRetries): re-merging against v${cur.version}")
       }

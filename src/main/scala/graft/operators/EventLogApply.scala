@@ -72,9 +72,13 @@ object EventLogApply {
       col("op"), col("conv_id"), col("turn_idx"), col("after"), col("ts"),
       col("partition").as("_partition"), col("offset").as("_offset"))
 
+    // bucket layout pinned once; the commit re-checks it (rebucket fence:
+    // appending files staged under an old layout would break pruning)
+    val nb0 = table.numBuckets
+
     val stage = table.newStageDir()
     rows
-      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), table.numBuckets))
+      .withColumn("bucket", MergeEngine.bucketOf(col("conv_id"), nb0))
       .hint("rebalance", "bucket")
       .sortWithinPartitions("bucket", "conv_id", "turn_idx", "_offset")
       .write.mode("overwrite")
@@ -86,6 +90,7 @@ object EventLogApply {
     val staged = table.stagedFilesByBucket(stage)
     // footer-only count, driver-side — no Spark job in the append path
     val rowsWritten = CdcApply.footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
+    Option(CdcApply.testOnStaged.getAndSet(null)).foreach(_.apply())
 
     object AlreadyApplied extends Exception
     try {
@@ -93,6 +98,12 @@ object EventLogApply {
         epoch.foreach { case (sid, bid) =>
           val last = parent.properties.get(s"epoch:$sid").map(_.toLong)
           if (last.exists(_ >= bid)) throw AlreadyApplied
+        }
+        if (parent.numBuckets != nb0) {
+          CdcApply.dropStage(stage)
+          throw new IllegalStateException(
+            s"table ${table.dir} was re-bucketed ($nb0 -> ${parent.numBuckets}) while " +
+              "this append was staged under the old layout — re-apply the batch")
         }
         val merged = staged.foldLeft(parent.files) { case (fs, (b, newFiles)) =>
           fs + (b -> (fs.getOrElse(b, Seq.empty) ++ newFiles))

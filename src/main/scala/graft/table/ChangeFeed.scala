@@ -25,8 +25,11 @@ import graft.model.NetAction
   *    `seq` = the committing version) — read verbatim, zero recompute;
   *  - event-log append (`bucketsAppended`): the base files the commit
   *    added are all inserts — surfaced as [[NetAction.Put]] rows;
-  *  - compaction (`bucketsCompacted`): state-preserving file rewrite —
-  *    contributes nothing;
+  *  - compaction (`bucketsCompacted`) and re-bucketing (`rebucketTo`):
+  *    state-preserving file rewrites — contribute nothing;
+  *  - rollback (`rollbackTo`): the reverted rows were never re-written,
+  *    so the range is not feed-expressible — the read throws and the
+  *    consumer re-bootstraps (see [[IceLiteTable.rollback]]);
   *  - copy-on-write apply (`bucketsRewritten`): the per-batch change
   *    rows were folded into rewritten buckets and NOT retained — the
   *    range is not feed-readable and the read throws (same contract as
@@ -80,6 +83,12 @@ object ChangeFeed {
       else if (s.metrics.contains("bucketsAppended"))
         appends ::= (v, flat(s.files) -- flat(prev.files))
       else if (s.metrics.contains("bucketsCompacted")) () // state-preserving
+      else if (s.metrics.contains("rebucketTo")) () // layout rewrite, state-preserving
+      else if (s.metrics.contains("rollbackTo")) throw new UnsupportedOperationException(
+        s"version $v of ${table.dir} is a rollback to v${s.metrics("rollbackTo")}: the " +
+          "reverted rows were never re-written, so the feed cannot express the range " +
+          "incrementally — re-bootstrap the consumer (mirror/view/SCD2) from a fresh " +
+          "snapshot, or diff readAt states")
       else if (s.files == prev.files && s.deltas == prev.deltas) () // metadata-only
       else throw new UnsupportedOperationException(
         s"version $v of ${table.dir} rewrote data files outside the merge-on-read/" +

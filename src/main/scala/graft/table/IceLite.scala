@@ -290,6 +290,13 @@ final class IceLiteTable(val dir: String) {
     * target's (its delta rows all carry seq ≤ it); the next MOR commit
     * stamps seq = version+1, which is strictly above any row in the
     * restored delta set.
+    *
+    * Feed contract: a rollback is NOT expressible as incremental change
+    * rows (the reverted rows were never re-written) — [[readChanges]]
+    * over a range containing one throws loudly, and feed consumers
+    * (mirror, incremental views, SCD2) must re-bootstrap from a fresh
+    * snapshot. The commit stamps its own `rollbackTo` metrics key so the
+    * feed can tell it apart from the target's original commit kind.
     */
   def rollback(toVersion: Long): Snapshot = {
     // validate eagerly: commit's build callback may retry under CAS, and
@@ -298,9 +305,62 @@ final class IceLiteTable(val dir: String) {
       s"rollback target v$toVersion is outside [1, v$currentVersion]")
     val target = snapshot(toVersion)
     commit { parent =>
-      target.copy(properties = target.properties +
-        ("rollback.to" -> toVersion.toString) +
-        ("rollback.from" -> parent.version.toString))
+      target.copy(
+        properties = target.properties +
+          ("rollback.to" -> toVersion.toString) +
+          ("rollback.from" -> parent.version.toString),
+        metrics = Map("rollbackTo" -> toVersion, "rollbackFrom" -> parent.version))
+    }
+  }
+
+  /** Re-bucket the table: rewrite the CURRENT state (outstanding MOR
+    * deltas folded in) into `newNumBuckets` hash buckets and commit the
+    * new layout atomically — the operation a table needs when it has
+    * outgrown its bucket count. Bucket count bounds write parallelism,
+    * compaction granularity and point-read pruning fan-out, and the
+    * day-one choice rarely survives a 100 TB growth curve. O(live
+    * table) by nature, but a single exchange: one base∪delta read, one
+    * rebalance onto the new bucket id, one sorted+bloomed zstd write.
+    *
+    * Consistency: numBuckets is PER SNAPSHOT, so time travel and bucket
+    * pruning of old versions keep the old layout. State is unchanged —
+    * the change feed treats the commit as state-preserving (like
+    * compaction) and epoch bookkeeping carries over untouched. A
+    * concurrent commit between the state read and the CAS aborts the
+    * rebucket (re-run it; the staged files are swept by orphan GC);
+    * conversely, a CDC apply staged under the old layout is fenced by
+    * its own numBuckets re-check and aborts rather than landing rows in
+    * wrong buckets.
+    */
+  def rebucket(spark: SparkSession, newNumBuckets: Int): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    require(newNumBuckets > 0, s"newNumBuckets must be positive, got $newNumBuckets")
+    val cur = current
+    if (newNumBuckets == cur.numBuckets) return cur
+    val stage = newStageDir()
+    readSnapshotState(spark, cur, None)
+      .withColumn("bucket", IceLite.bucketOf(col("conv_id"), newNumBuckets))
+      .hint("rebalance", "bucket")
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#conv_id", "true")
+      .partitionBy("bucket")
+      .parquet(stage.toString)
+    val staged = stagedFilesByBucket(stage)
+    Option(IceLite.testOnRebucketStaged.getAndSet(null)).foreach(_.apply())
+    commit { parent =>
+      if (parent.version != cur.version)
+        throw new IllegalStateException(
+          s"rebucket of $dir raced: rewrote v${cur.version} but v${parent.version} " +
+            "committed meanwhile — re-run rebucket (staged files are orphan-GC swept)")
+      parent.copy(
+        numBuckets = newNumBuckets,
+        files = staged,
+        deltas = Map.empty,
+        metrics = Map(
+          "rebucketFrom" -> cur.numBuckets.toLong,
+          "rebucketTo" -> newNumBuckets.toLong))
     }
   }
 
@@ -665,6 +725,13 @@ object IceLite {
     * diffs; a warm (memoized) reader folds exactly one per commit.
     */
   val CheckpointEvery: Int = 32
+
+  /** Test seam: runs once between rebucket's staging write and its commit
+    * attempt — lets a spec deterministically land a concurrent commit in
+    * the window the rebucket CAS guard exists for.
+    */
+  private[graft] val testOnRebucketStaged =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
 
   private val mapper = new ObjectMapper()
 

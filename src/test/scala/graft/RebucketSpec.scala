@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.MergeSpec
+import graft.operators.{CdcApply, EventLogApply}
+import graft.table.IceLite
+
+/** Bucket-count evolution (IceLiteTable.rebucket): state preservation,
+  * per-snapshot layout (time travel keeps the old bucket count), pruning
+  * under the new layout, change-feed transparency, and the writer fences
+  * that abort a CDC apply staged under a layout a concurrent rebucket
+  * replaced (landing those rows would silently break pruning).
+  */
+class RebucketSpec extends SparkSuite {
+  import TestHelpers._
+
+  private def state(t: graft.table.IceLiteTable) =
+    readTable(spark, t).map(x => (x.conv_id, x.turn_idx, x.text)).sorted
+
+  test("rebucket preserves state, changes layout per-snapshot, prunes under the new count") {
+    val dir = tmpDir("rebucket") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val b = (0 until 60).map(i => ins(i.toLong, f"c$i%03d", 0, s"t$i"))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, b), epoch = Some(("q", 0L)))
+    val before = state(t)
+    val oldV = t.currentVersion
+
+    val snap = t.rebucket(spark, 16)
+    assert(snap.numBuckets == 16 && t.numBuckets == 16)
+    assert(snap.deltas.isEmpty, "rebucket folds outstanding deltas into base files")
+    assert(state(t) == before)
+    // epoch bookkeeping carried over: redelivery is still a no-op
+    assert(CdcApply.applyBatch(spark, t, eventsDF(spark, b), epoch = Some(("q", 0L))).skipped)
+
+    // time travel keeps the OLD layout (numBuckets is per snapshot)
+    assert(t.snapshot(oldV).numBuckets == 4)
+    assert(t.readAt(spark, oldV).count() == before.size)
+
+    // point read prunes to ONE of the 16 new buckets
+    val probe = "c007"
+    val bkt = IceLite.bucketOf(lit(probe), 16)
+    val bucketId = spark.range(1).select(bkt).collect()(0).getInt(0)
+    val pruned = t.read(spark, Some(Set(bucketId))).filter(col("conv_id") === probe)
+    assert(pruned.count() == 1)
+    assert(t.dataFiles(Some(Set(bucketId))).size < t.dataFiles(None).size)
+
+    // new writes land under the new layout and read back correctly
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ups(1000L, "c007", 0, "updated"))),
+      epoch = Some(("q", 1L)))
+    assert(readTable(spark, t).find(_.conv_id == "c007").get.text == "updated")
+    // no-op when the count is unchanged
+    assert(t.rebucket(spark, 16).version == t.currentVersion)
+  }
+
+  test("change feed: rebucket is state-preserving (transparent); rollback throws loudly") {
+    val dir = tmpDir("rebucket-feed") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "a"))), epoch = Some(("q", 0L)))
+    val from = t.currentVersion
+    t.rebucket(spark, 8)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ups(1L, "c1", 0, "b"))), epoch = Some(("q", 1L)))
+    // the feed over (from, now] skips the rebucket and carries exactly the upsert
+    val feed = t.readChanges(spark, from).collect()
+    assert(feed.length == 1 && feed(0).getAs[String]("action") == graft.model.NetAction.Put)
+
+    val goodV = t.currentVersion
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ups(2L, "c1", 0, "bad"))), epoch = Some(("q", 2L)))
+    t.rollback(goodV)
+    val e = intercept[UnsupportedOperationException](t.readChanges(spark, goodV).collect())
+    assert(e.getMessage.contains("rollback"))
+  }
+
+  test("MOR apply staged under the old layout aborts when a rebucket lands mid-commit") {
+    val dir = tmpDir("rebucket-mor-race") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "seed"))), epoch = Some(("q", 0L)))
+    CdcApply.testOnStaged.set(() => { t.rebucket(spark, 8); () })
+    val b = (0 until 20).map(i => ins((10 + i).toLong, f"n$i%02d", 0, s"n$i"))
+    val e = intercept[IllegalStateException](
+      CdcApply.applyBatch(spark, t, eventsDF(spark, b), epoch = Some(("q", 1L))))
+    assert(e.getMessage.contains("re-bucketed"), e.getMessage)
+    // re-applying the same epoch under the new layout succeeds cleanly
+    val r = CdcApply.applyBatch(spark, t, eventsDF(spark, b), epoch = Some(("q", 1L)))
+    assert(!r.skipped && state(t).size == 21)
+    // every delta row sits in the bucket dir its conv_id hashes to under
+    // the NEW layout — the property the fence exists to protect
+    val files = t.current.deltas.toSeq.flatMap { case (bkt, fs) => fs.map(f => (bkt, s"$dir/$f")) }
+    files.groupBy(_._1).foreach { case (bkt, fs) =>
+      val rows = spark.read.parquet(fs.map(_._2): _*).select("conv_id").distinct()
+      val wrong = rows.filter(IceLite.bucketOf(col("conv_id"), 8) =!= lit(bkt)).count()
+      assert(wrong == 0, s"bucket $bkt holds rows hashed elsewhere under the new layout")
+    }
+  }
+
+  test("COW apply fenced the same way") {
+    val dir = tmpDir("rebucket-cow-race") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    val spec = MergeSpec(mergeStrategy = "cow")
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "seed"))), spec, epoch = Some(("q", 0L)))
+    CdcApply.testOnStaged.set(() => { t.rebucket(spark, 8); () })
+    val b = (0 until 20).map(i => ins((10 + i).toLong, f"n$i%02d", 0, s"n$i"))
+    val e = intercept[IllegalStateException](
+      CdcApply.applyBatch(spark, t, eventsDF(spark, b), spec, epoch = Some(("q", 1L))))
+    assert(e.getMessage.contains("re-bucketed"), e.getMessage)
+    val r = CdcApply.applyBatch(spark, t, eventsDF(spark, b), spec, epoch = Some(("q", 1L)))
+    assert(!r.skipped && state(t).size == 21)
+  }
+
+  test("event-log append fenced the same way") {
+    val dir = tmpDir("rebucket-log-race") + "/t"
+    val t = IceLite.create(dir, graft.operators.EventLogApply.logSchema(turnSchema), 4)
+    EventLogApply.appendBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "seed"))), epoch = Some(("q", 0L)))
+    CdcApply.testOnStaged.set(() => { t.rebucket(spark, 8); () })
+    val e = intercept[IllegalStateException](
+      EventLogApply.appendBatch(spark, t, eventsDF(spark, Seq(ins(1L, "c2", 0, "x"))), epoch = Some(("q", 1L))))
+    assert(e.getMessage.contains("re-bucketed"), e.getMessage)
+    val r = EventLogApply.appendBatch(spark, t, eventsDF(spark, Seq(ins(1L, "c2", 0, "x"))), epoch = Some(("q", 1L)))
+    assert(!r.skipped && t.read(spark).count() == 2)
+  }
+
+  test("rebucket aborts cleanly when a concurrent commit lands mid-rewrite") {
+    val dir = tmpDir("rebucket-race") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "a"))), epoch = Some(("q", 0L)))
+    // deterministic interleave: a concurrent writer commits between the
+    // rebucket's staging write and its CAS — losing that writer's rows by
+    // committing the stale rewrite is exactly what the guard forbids
+    IceLite.testOnRebucketStaged.set(() => {
+      CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(1L, "c2", 0, "b"))), epoch = Some(("q", 1L)))
+      ()
+    })
+    val e = intercept[IllegalStateException](t.rebucket(spark, 8))
+    assert(e.getMessage.contains("raced"), e.getMessage)
+    // state unharmed (both writers' rows live), layout unchanged; re-run lands
+    assert(t.numBuckets == 4 && state(t).size == 2)
+    assert(t.rebucket(spark, 8).numBuckets == 8)
+    assert(state(t).size == 2)
+  }
+}
