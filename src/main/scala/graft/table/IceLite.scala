@@ -252,6 +252,11 @@ final class IceLiteTable(val dir: String) {
 
   /** Tag `version` (default: current) as `name`. Validates the snapshot
     * is readable before pointing at it. Returns the tagged version.
+    *
+    * Metadata-growth note: a long-lived tag pins the diff chain above
+    * it (expiry keeps every v-file ≥ the oldest tag — one small diff
+    * json per commit since the tag, data files shared, not duplicated).
+    * Drop tags you no longer need; the next expiry reclaims the chain.
     */
   def tag(name: String, version: Long = -1L): Long = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "-_.".contains(c)),
