@@ -117,6 +117,18 @@ object Demo {
     println(s"[demo] maintenance: compacted $compacted buckets; expired $snaps snapshots, deleted $orphans orphan files")
     println(s"[demo] event-log rows after compaction: ${eventLog.read(spark).count()}")
 
+    // named refs + rollback + bucket-count evolution (B10/B11): pin the
+    // streamed state under a name, widen the layout, roll back to the tag
+    val nb0 = stateTable.numBuckets
+    val tagged = stateTable.tag("demo-run")
+    val rowsTagged = stateTable.read(spark).count()
+    stateTable.rebucket(spark, nb0 * 2)
+    val rowsWide = stateTable.read(spark).count()
+    stateTable.rollback(tagged)
+    println(s"[demo] refs+layout: tagged v$tagged as 'demo-run'; rebucket $nb0 -> ${nb0 * 2} " +
+      s"preserved rows: ${rowsTagged == rowsWide}; rollback to tag -> " +
+      s"numBuckets=${stateTable.numBuckets} at v${stateTable.currentVersion}")
+
     // multi-schema payload classification + typed extraction (reference
     // value.converter.schema.names + extract/Cast-SMT): two JSON shapes
     // on one topic, each with its own typed extract columns; an unmatched
