@@ -80,6 +80,29 @@ class StreamingSpec extends SparkSuite {
     assert(got == oracleTriples(evs))
   }
 
+  test("rebucket mid-stream: the fenced epoch fails the stream; restart resumes under the new layout") {
+    val root = tmpDir("stream-rebucket")
+    val cfg = ChangeLogGen.GenConfig(numEvents = 3000, numConvs = 40, maxTurns = 8, logPartitions = 2)
+    ChangeLogGen.writeLog(spark, cfg, s"$root/log", chunks = 3)
+    val sc = CdcStream.StreamConfig(s"$root/log", s"$root/table", s"$root/ckpt",
+      maxFilesPerTrigger = Some(1))
+    // fire once: between some epoch's staging and its commit, an operator
+    // rebucket lands — the writer fence must fail that epoch (not land
+    // rows in wrong buckets), Spark fails the streaming query, and a
+    // restart re-applies the epoch under the new layout from checkpoint
+    graft.operators.CdcApply.testOnStaged.set(() => {
+      graft.table.IceLite.load(s"$root/table").rebucket(spark, 16)
+      ()
+    })
+    val e = intercept[Exception](CdcStream.runAvailable(spark, sc))
+    def root0(t: Throwable): Throwable = if (t.getCause == null) t else root0(t.getCause)
+    assert(root0(e).getMessage.contains("re-bucketed"), root0(e).getMessage)
+
+    val table = CdcStream.runAvailable(spark, sc) // resume
+    assert(table.numBuckets == 16)
+    assert(stateTriples(table) == oracleTriples(collectLog(spark.read.parquet(s"$root/log"))))
+  }
+
   test("resume from checkpoint: new log files processed, old ones not re-read") {
     val root = tmpDir("stream-resume")
     val cfg = ChangeLogGen.GenConfig(numEvents = 2000, numConvs = 30, maxTurns = 8, logPartitions = 2)
