@@ -119,6 +119,40 @@ class RebucketSpec extends SparkSuite {
     assert(!r.skipped && t.read(spark).count() == 2)
   }
 
+  test("randomized: replay with rebuckets interleaved between batches still equals the oracle") {
+    import scala.util.Random
+    def randomLog(rnd: Random, n: Int, convs: Int, turns: Int) =
+      (0 until n).map { i =>
+        val off = i.toLong
+        val conv = f"c${rnd.nextInt(convs)}%03d"
+        val t = rnd.nextInt(turns)
+        rnd.nextInt(100) match {
+          case r if r < 55 => ins(off, conv, t, s"ins-$off")
+          case r if r < 70 => upd(off, conv, t, s"upd-$off")
+          case r if r < 85 => ups(off, conv, t, s"ups-$off")
+          case r if r < 96 => del(off, conv, Some(t))
+          case _           => del(off, conv, None)
+        }
+      }.toVector
+    Seq(401L, 402L, 403L).foreach { seed =>
+      val rnd = new Random(seed)
+      val log = randomLog(rnd, 250, 5, 4)
+      val dir = tmpDir(s"rebucket-rand-$seed") + "/t"
+      val t = IceLite.create(dir, turnSchema, 4)
+      log.grouped(60).zipWithIndex.foreach { case (b, i) =>
+        CdcApply.applyBatch(spark, t, eventsDF(spark, b.toSeq), epoch = Some(("r", i.toLong)))
+        // random layout churn between batches: widen, shrink, or leave
+        rnd.nextInt(3) match {
+          case 0 => t.rebucket(spark, 1 + rnd.nextInt(16))
+          case _ => ()
+        }
+      }
+      val want = OracleFold.rows(OracleFold.finalState(log))
+        .map(x => (x.conv_id, x.turn_idx, x.text))
+      assert(state(t) == want.sorted, s"seed=$seed finalBuckets=${t.numBuckets}")
+    }
+  }
+
   test("rebucket aborts cleanly when a concurrent commit lands mid-rewrite") {
     val dir = tmpDir("rebucket-race") + "/t"
     val t = IceLite.create(dir, turnSchema, 4)
