@@ -302,6 +302,13 @@ final class IceLiteTable(val dir: String) {
     * (mirror, incremental views, SCD2) must re-bootstrap from a fresh
     * snapshot. The commit stamps its own `rollbackTo` metrics key so the
     * feed can tell it apart from the target's original commit kind.
+    *
+    * Streaming note: a Structured Streaming checkpoint is NOT rolled
+    * back with the table — the source will not redeliver epochs its
+    * checkpoint already committed. The restored epoch properties make a
+    * REDELIVERED rolled-back epoch apply (not skip), so to re-ingest
+    * the reverted range restart the stream from a fresh checkpoint (or
+    * a new streamId, per the high-water WARN in CdcApply.lastEpoch).
     */
   def rollback(toVersion: Long): Snapshot = {
     // validate eagerly: commit's build callback may retry under CAS, and
