@@ -258,9 +258,19 @@ final class IceLiteTable(val dir: String) {
     * json per commit since the tag, data files shared, not duplicated).
     * Drop tags you no longer need; the next expiry reclaims the chain.
     */
+  /** Validated ref file path. Leading '.' is rejected (not just '..'
+    * traversal — dotfiles are the tmp-file namespace and are excluded
+    * from the [[tags]] listing, so a dot-named ref would be unlistable).
+    */
+  private def refPath(name: String): Path = {
+    require(name.nonEmpty && !name.startsWith(".") &&
+      name.forall(c => c.isLetterOrDigit || "-_.".contains(c)),
+      s"ref name '$name' must be [A-Za-z0-9_-][A-Za-z0-9._-]*")
+    refsDir.resolve(name)
+  }
+
   def tag(name: String, version: Long = -1L): Long = {
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "-_.".contains(c)),
-      s"ref name '$name' must be [A-Za-z0-9._-]+")
+    val target = refPath(name)
     val v = if (version < 0) currentVersion else version
     snapshot(v) // throws if the version never existed or is already expired
     Files.createDirectories(refsDir)
@@ -268,14 +278,14 @@ final class IceLiteTable(val dir: String) {
     // must repoint the name, and a reader never sees a partial file
     val tmp = refsDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, v.toString)
-    Files.move(tmp, refsDir.resolve(name),
+    Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
   }
 
   /** Drop ref `name`; its snapshot becomes expirable again. */
-  def dropTag(name: String): Boolean = Files.deleteIfExists(refsDir.resolve(name))
+  def dropTag(name: String): Boolean = Files.deleteIfExists(refPath(name))
 
   /** Time travel by name: [[readAt]] the version ref `name` points to. */
   def readAtTag(spark: SparkSession, name: String,

@@ -342,6 +342,8 @@ class IceLiteSpec extends SparkSuite {
     assert(texts(t.readAtTag(spark, "run-1")) == Seq("b"))
     assert(t.dropTag("run-1") && t.tags.isEmpty && !t.dropTag("run-1"))
     intercept[IllegalArgumentException](t.tag("bad name"))
+    intercept[IllegalArgumentException](t.tag("..")) // traversal + dot-namespace guard
+    intercept[IllegalArgumentException](t.dropTag(".tmp-x"))
     intercept[Exception](t.tag("ghost", 999L))
     intercept[NoSuchElementException](t.readAtTag(spark, "nope"))
   }
