@@ -74,4 +74,64 @@ object Multimodal {
       }
     }
   }
+
+  final case class ResizedDoc(
+      doc_id: Long, modality: String,
+      width: Int, height: Int, out_width: Int, out_height: Int,
+      content: Array[Byte])
+
+  /** Resize plumbing: same batch shape as [[decode]]; output dims are
+    * the aspect-preserving fit into (maxW, maxH). STUB resample: keeps
+    * every k-th byte (k = area ratio) — a real implementation swaps the
+    * body for an actual scaler; row count, schema, and the 1:1 doc
+    * mapping are the Spark-side contract and stay identical.
+    */
+  def resize(spark: SparkSession, binaryDocs: DataFrame,
+             maxW: Int = 224, maxH: Int = 224): Dataset[ResizedDoc] = {
+    import spark.implicits._
+    binaryDocs.as[BinaryDoc].mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.iterator.map { d =>
+          val (w, h, _, _) = fakeDecode(d.modality, d.content)
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          val k = math.max(1, (w.toLong * h / math.max(1L, ow.toLong * oh)).toInt)
+          val out = d.content.indices.collect { case i if i % k == 0 => d.content(i) }.toArray
+          ResizedDoc(d.doc_id, d.modality, w, h, ow, oh, out)
+        }
+      }
+    }
+  }
+
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Int, n_frames: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling for video payloads: one output row per every-Nth
+    * frame — the row-expanding shape (flatMap inside the partition
+    * batches) a real container demuxer needs. STUB framing: the payload
+    * splits into `frames` equal strides (remainder to the last frame),
+    * with `frames` the same deterministic count [[decode]] reports. All
+    * frame geometry is integer arithmetic, so the q49 oracle reproduces
+    * the metadata bit-for-bit from the text length.
+    */
+  def frameSample(spark: SparkSession, binaryDocs: DataFrame,
+                  every: Int = 2): Dataset[FrameSample] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    import spark.implicits._
+    binaryDocs.as[BinaryDoc].mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.iterator
+          .filter(_.modality == "video")
+          .flatMap { d =>
+            val n = d.content.length
+            val frames = 1 + n % 30
+            val stride = math.max(1, n / frames)
+            (0 until frames by every).iterator.map { i =>
+              val end = if (i == frames - 1) n else math.min(n, (i + 1) * stride)
+              FrameSample(d.doc_id, i, frames, d.content.slice(i * stride, end))
+            }
+          }
+      }
+    }
+  }
 }

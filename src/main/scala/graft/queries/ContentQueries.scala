@@ -771,6 +771,18 @@ object ContentQueries {
         .toDF()
         .select(col("doc_id"), col("modality"), col("n_bytes"),
           col("width"), col("height"), col("frames"))
+    }),
+
+    // Video frame sampling (every 2nd frame) through the batch-shaped
+    // demuxer plumbing: a row-EXPANDING mapPartitions (one row per
+    // sampled frame). The stub's frame geometry is pure integer
+    // arithmetic over the payload length, so the oracle reproduces the
+    // metadata (frame count, per-frame byte length) bit-for-bit.
+    "q49_mm_frames" -> ((s, dir) => {
+      Multimodal.frameSample(s, Multimodal.fromDocuments(t(s, dir, "documents")), every = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
     }))
 
   // ---- programmatically-built oracle fragments ----
@@ -943,6 +955,19 @@ object ContentQueries {
         | CAST(64 + (octet_length(encode(text)) * 7) % 416 AS INT) AS height,
         | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS INT) AS frames
         |FROM documents""".stripMargin,
+
+    "q49_mm_frames" ->
+      """WITH v AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, n, CAST(1 + n % 30 AS INT) AS n_frames,
+        |             CAST(greatest(1, n // (1 + n % 30)) AS BIGINT) AS stride FROM v),
+        |idx AS (SELECT doc_id, n, n_frames, stride,
+        |               unnest(range(0, n_frames, 2)) AS frame_idx FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, n_frames,
+        |  CAST(CASE WHEN frame_idx = n_frames - 1 THEN n - frame_idx * stride
+        |            ELSE least(n, (frame_idx + 1) * stride) - frame_idx * stride
+        |       END AS BIGINT) AS frame_len
+        |FROM idx""".stripMargin,
 
     "q40_profile_stats" -> {
       def num(c: String) =

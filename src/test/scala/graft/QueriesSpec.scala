@@ -94,6 +94,34 @@ class QueriesSpec extends SparkSuite {
     assert(df.filter(!col("modality").isin("image", "audio", "video")).count() == 0)
   }
 
+  test("multimodal resize + frame-sample: typed batch plumbing holds its contracts") {
+    import graft.operators.Multimodal
+    val bin = Multimodal.fromDocuments(spark.read.parquet(s"$dir/documents.parquet"))
+    // resize: 1:1 doc mapping, output dims fit the box and preserve order
+    val rs = Multimodal.resize(spark, bin, maxW = 128, maxH = 128).collect()
+    assert(rs.length == bin.count())
+    rs.foreach { r =>
+      assert(r.out_width <= 128 && r.out_height <= 128 && r.out_width >= 1 && r.out_height >= 1)
+      assert(r.content.length >= 1) // byte 0 always survives the stride resample
+      // aspect preserved within integer truncation: out dims never exceed source dims
+      assert(r.out_width <= r.width && r.out_height <= r.height)
+    }
+    // frame-sample: video rows only, indices stepped by `every`, bytes
+    // re-concatenate to a prefix of the payload (frames are contiguous slices)
+    val fs = Multimodal.frameSample(spark, bin, every = 2).collect()
+    assert(fs.nonEmpty)
+    assert(fs.forall(_.frame_idx % 2 == 0))
+    fs.groupBy(_.doc_id).foreach { case (_, rows) =>
+      val n = rows.head.n_frames
+      assert(rows.map(_.frame_idx).sorted.toSeq == (0 until n by 2))
+      assert(rows.forall(_.frame_bytes.length >= 0))
+    }
+    // determinism: second run identical
+    val fs2 = Multimodal.frameSample(spark, bin, every = 2).collect()
+    assert(fs.map(f => (f.doc_id, f.frame_idx, f.frame_bytes.toSeq)).toSet ==
+      fs2.map(f => (f.doc_id, f.frame_idx, f.frame_bytes.toSeq)).toSet)
+  }
+
   test("q40 profile: one row per profiled column; counts are internally consistent") {
     val df = SparkEntry.queries("q40_profile_stats")(spark, dir).collect()
     assert(df.length == 5)
