@@ -855,6 +855,22 @@ object CdcApply {
       epoch.foreach { case (sid, bid) =>
         if (lastEpoch(parent, sid).exists(_ >= bid)) throw AlreadyApplied(bid)
       }
+      // Rebucket fence, in the one place that sees the true commit parent:
+      // the staged files' bucket column was computed under cur.numBuckets.
+      // A rebucket landing between the base read and this CAS moves every
+      // row, but when the touched buckets are empty on BOTH sides (a batch
+      // of brand-new conversations) the per-bucket stale check below cannot
+      // see it — without this check the commit would publish old-layout
+      // files into a new-layout snapshot and bucket-pruned reads would
+      // miss the rows. CommitRaced (not a direct abort) so the caller's
+      // retry path drops the stage dir first; its own nb fence then
+      // escalates with the re-apply message. Marker-only commits
+      // (touched and staged both empty — the epoch-only path, which does
+      // not catch CommitRaced) carry no bucketed rows and are exempt.
+      if ((touched.nonEmpty || staged.nonEmpty) && parent.numBuckets != cur.numBuckets)
+        throw CommitRaced(
+          s"COW commit raced on ${table.dir}: table was re-bucketed " +
+            s"(${cur.numBuckets} -> ${parent.numBuckets}) while this batch was staged")
       val stale = touched.filter(b =>
         parent.files.get(b) != cur.files.get(b) || parent.deltas.get(b) != cur.deltas.get(b))
       if (stale.nonEmpty)

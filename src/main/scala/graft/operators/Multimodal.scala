@@ -45,11 +45,17 @@ object Multimodal {
     * A real implementation would dispatch on modality to an actual
     * decoder here (JPEG dims, PCM duration, container frame count).
     */
+  /** The stub's frame-count rule, shared by [[decode]], [[frameSample]]
+    * and (via text length) the q49 oracle — one definition so the three
+    * cannot drift apart.
+    */
+  private[graft] def frameCount(nBytes: Int): Int = 1 + nBytes % 30
+
   private def fakeDecode(modality: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val n = bytes.length
     val width = 64 + n % 576
     val height = 64 + (n * 7) % 416
-    val frames = if (modality == "video") 1 + n % 30 else 1
+    val frames = if (modality == "video") frameCount(n) else 1
     // "features": mean byte value per 16-byte stripe, first 8 stripes
     val features = Array.tabulate(math.min(8, math.max(1, n / 16))) { i =>
       val s = bytes.slice(i * 16, math.min(n, i * 16 + 16))
@@ -96,7 +102,12 @@ object Multimodal {
           val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
           val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
           val k = math.max(1, (w.toLong * h / math.max(1L, ow.toLong * oh)).toInt)
-          val out = d.content.indices.collect { case i if i % k == 0 => d.content(i) }.toArray
+          // every-k-th byte via a stepped primitive loop: O(n/k) byte
+          // writes, no boxing (an indices.collect scan would do O(n)
+          // boxed work per row on this hot mapPartitions path)
+          val out = new Array[Byte]((d.content.length + k - 1) / k)
+          var i = 0
+          while (i < out.length) { out(i) = d.content(i * k); i += 1 }
           ResizedDoc(d.doc_id, d.modality, w, h, ow, oh, out)
         }
       }
@@ -124,7 +135,7 @@ object Multimodal {
           .filter(_.modality == "video")
           .flatMap { d =>
             val n = d.content.length
-            val frames = 1 + n % 30
+            val frames = frameCount(n)
             val stride = math.max(1, n / frames)
             (0 until frames by every).iterator.map { i =>
               val end = if (i == frames - 1) n else math.min(n, (i + 1) * stride)

@@ -34,19 +34,37 @@ object ContentQueries {
     */
   private val shared =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // Per-(dir, key) build locks: TrieMap.getOrElseUpdate may evaluate the
+  // build block in TWO racing threads (e.g. two notebook cells hitting
+  // q19/q21 concurrently on first use); since lshCandidatesCached FORCES
+  // and persists its result inside the block, the loser would have run
+  // the whole signature+banding pipeline and left its persisted blocks
+  // pinned for the session's lifetime. The lock set is keyed WITHOUT the
+  // session (a handful of (dir, key) strings — bounded) so cycling
+  // sessions never grow it; cross-session serialization of the same
+  // build is harmless.
+  private val memoLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
   private def memo(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
     // evict entries of stopped sessions: a long-lived JVM cycling sessions
     // (test suites, notebooks) must not pin dead session graphs forever
     shared.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-    shared.getOrElseUpdate((s, dir, key), {
-      val df = build
-      // a build block may persist (and even force) its result itself —
-      // e.g. lshCandidatesCached, which needs the materialization inside
-      // the block to harvest diagnostics; don't double-persist it
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    })
+    val k = (s, dir, key)
+    shared.get(k) match {
+      case Some(df) => df
+      case None =>
+        memoLocks.computeIfAbsent((dir, key), _ => new Object).synchronized {
+          shared.getOrElseUpdate(k, {
+            val df = build
+            // a build block may persist (and even force) its result itself —
+            // e.g. lshCandidatesCached, which needs the materialization inside
+            // the block to harvest diagnostics; don't double-persist it
+            if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+              df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else df
+          })
+        }
+    }
   }
 
   /** Number of memoized pipeline entries this session currently holds.

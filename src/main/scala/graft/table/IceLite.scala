@@ -271,17 +271,34 @@ final class IceLiteTable(val dir: String) {
 
   def tag(name: String, version: Long = -1L): Long = {
     val target = refPath(name)
-    val v = if (version < 0) currentVersion else version
-    snapshot(v) // throws if the version never existed or is already expired
-    Files.createDirectories(refsDir)
-    // atomic REPLACE (not writeAtomically's put-if-absent): re-tagging
-    // must repoint the name, and a reader never sees a partial file
-    val tmp = refsDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    v
+    // Serialized against expireSnapshots (same JVM): expiry computes its
+    // keep window from one read of the tag set, so a tag of an older
+    // version racing it could land AFTER that read and point at a chain
+    // the expiry is about to delete — violating the pinning contract.
+    IceLite.refLock(dir).synchronized {
+      val v = if (version < 0) currentVersion else version
+      snapshot(v) // throws if the version never existed or is already expired
+      Files.createDirectories(refsDir)
+      // atomic REPLACE (not writeAtomically's put-if-absent): re-tagging
+      // must repoint the name, and a reader never sees a partial file
+      val tmp = refsDir.resolve(s".tmp-${UUID.randomUUID()}")
+      Files.writeString(tmp, v.toString)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // Cross-process best-effort: an expiry in ANOTHER process may have
+      // read its tag set before our ref landed. Re-check the ON-DISK
+      // marker now the ref is visible (snapshot() could answer from the
+      // in-JVM memo and miss a foreign delete): an expiry that dropped v
+      // removed its v-file and wrote no checkpoint at it. If it is gone,
+      // un-publish and fail loudly instead of leaving a dangling ref.
+      if (!Files.exists(vFile(v)) && !Files.exists(cFile(v))) {
+        Files.deleteIfExists(target)
+        throw new IllegalStateException(
+          s"tag '$name': snapshot v$v was expired concurrently (ref rolled back)")
+      }
+      v
+    }
   }
 
   /** Drop ref `name`; its snapshot becomes expirable again. */
@@ -453,7 +470,17 @@ final class IceLiteTable(val dir: String) {
     * every v-file and leave an unloadable table (checkpoints survive but
     * currentVersion would be 0).
     */
-  def expireSnapshots(keepLast: Int = 2): (Int, Int) = {
+  def expireSnapshots(keepLast: Int = 2): (Int, Int) =
+    // Holds the table's ref lock for the whole run: the keep window is
+    // computed from ONE read of the tag set, so a concurrent in-process
+    // tag() of an older version landing after that read would pin
+    // nothing and be left pointing at the chain this run deletes.
+    // Expiry is maintenance-cadence work (sub-second on the metadata
+    // sizes it is budgeted for) — serializing rare tag() calls behind it
+    // is the correct trade.
+    IceLite.refLock(dir).synchronized { expireSnapshots0(keepLast) }
+
+  private def expireSnapshots0(keepLast: Int): (Int, Int) = {
     val keepN = math.max(1, keepLast)
     def refs(s: Snapshot): Iterable[String] = s.files.values.flatten ++ s.deltas.values.flatten
     val versions = listSnapshotVersions
@@ -705,6 +732,23 @@ final class IceLiteTable(val dir: String) {
 }
 
 object IceLite {
+
+  /** JVM-wide ref/expiry mutual exclusion, keyed by canonical table dir
+    * (IceLiteTable instances are cheap and callers create several per
+    * dir — an instance-level lock would not serialize them). Closes the
+    * tag-vs-expiry TOCTOU in-process: [[IceLiteTable.expireSnapshots]]
+    * reads the tag set once to compute its keep window, so a tag of an
+    * OLDER version landing between that read and the deletes would pin
+    * nothing and point at a GC'd chain. Maintenance runs on an
+    * in-process thread (CdcStream cadence), so the JVM-wide lock covers
+    * the real deployment; cross-PROCESS expiry remains best-effort
+    * (tag() re-validates after publishing the ref, shrinking that
+    * window to the expiry's own delete loop).
+    */
+  private[table] def refLock(dir: String): Object =
+    refLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+  private val refLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Physical bucket of a conversation — the table's hash-distribution
     * layout (reference analogue: `PARTITION BY HASH` DDL,

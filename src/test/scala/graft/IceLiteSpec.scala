@@ -390,6 +390,28 @@ class IceLiteSpec extends SparkSuite {
     intercept[Exception](t.readAt(spark, pinned).collect())
     assert(texts(t.read(spark)) == Seq("tagged-state", "v5"))
   }
+
+  test("tag detects a foreign concurrent expiry: ref un-published, loud failure") {
+    // In-process tag-vs-expiry is serialized by the per-dir ref lock; the
+    // cross-PROCESS window (an expiry elsewhere read its tag set before
+    // this ref landed) is covered by tag()'s post-publish ON-DISK check —
+    // the in-JVM snapshot memo would still answer for the version, so the
+    // check must look at the files, not the memo. Simulate the foreign
+    // expiry by removing the version's on-disk markers after warming the
+    // memo.
+    val dir = tmpDir("icelite-tag-race")
+    val t = IceLite.create(s"$dir/t", TestHelpers.turnSchema, 4)
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(0L, "c1", 0, "a"))))
+    CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ups(1L, "c1", 0, "b"))))
+    val v = t.currentVersion
+    assert(t.current.version == v) // warms the in-JVM snapshot memo at v
+    import java.nio.file.{Files, Paths}
+    Files.deleteIfExists(Paths.get(s"$dir/t/snap", f"v$v%010d.json"))
+    Files.deleteIfExists(Paths.get(s"$dir/t/snap", f"c$v%010d.json"))
+    val e = intercept[IllegalStateException](t.tag("orphan", v))
+    assert(e.getMessage.contains("expired concurrently"), e.getMessage)
+    assert(t.tags.isEmpty, "the dangling ref must be un-published")
+  }
 }
 
 /** Test helper: commit with CAS-retry loop (IceLiteTable.commit throws on
