@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.model.MergeSpec
+import graft.model.{ChangeEvent, MergeSpec}
 import graft.operators.CdcApply
 import graft.table.IceLite
 
@@ -381,5 +381,56 @@ class MorSpec extends SparkSuite {
     }
     // every row from both writers is present exactly once
     assert(t.read(spark).count() == (rounds * 80).toLong)
+  }
+
+  test("randomized concurrent writers: mixed ops, mixed strategies, final state equals oracle") {
+    // Generalizes the insert-only concurrency test: seeded random batches
+    // of insert/upsert/update/point-delete/series-delete from two TRULY
+    // CONCURRENT writers over disjoint conv universes (disjointness makes
+    // the merged oracle commit-order independent — per-key ordering is
+    // each writer's own offset order, which fold and oracle both honor).
+    // One seed mixes strategies: a COW writer's bucket rewrites interleave
+    // with a MOR writer's delta appends on the same table, exercising the
+    // cross-strategy race paths (stale-bucket check vs seq check).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    import scala.util.Random
+    for (seed <- Seq(11, 24)) {
+      val rnd = new Random(seed)
+      val dir = tmpDir(s"mor-race-rand-$seed") + "/t"
+      val t = IceLite.create(dir, turnSchema, 8)
+      def randomBatch(prefix: String, base: Long, n: Int): Seq[ChangeEvent] =
+        (0 until n).map { i =>
+          val off = base + i
+          val conv = f"$prefix${rnd.nextInt(12)}%02d"
+          val turn = rnd.nextInt(3)
+          rnd.nextInt(100) match {
+            case r if r < 45 => ins(off, conv, turn, s"$prefix-ins-$off")
+            case r if r < 65 => ups(off, conv, turn, s"$prefix-ups-$off")
+            case r if r < 80 => upd(off, conv, turn, s"$prefix-upd-$off")
+            case r if r < 93 => del(off, conv, Some(turn))
+            case _           => del(off, conv, None)
+          }
+        }
+      val specA = MergeSpec(mergeStrategy = "mor")
+      val specB = MergeSpec(mergeStrategy = if (seed % 2 == 0) "cow" else "mor")
+      var all = Vector.empty[ChangeEvent]
+      (0 until 3).foreach { r =>
+        val bA = randomBatch("ra", r * 1000L, 30 + rnd.nextInt(20))
+        val bB = randomBatch("rb", r * 1000L + 500, 30 + rnd.nextInt(20))
+        all = all ++ bA ++ bB
+        val fA = Future(CdcApply.applyBatch(spark, t, eventsDF(spark, bA),
+          spec = specA, epoch = Some((s"ra$seed", r.toLong))))
+        val fB = Future(CdcApply.applyBatch(spark, t, eventsDF(spark, bB),
+          spec = specB, epoch = Some((s"rb$seed", r.toLong))))
+        val (ra, rb) = (Await.result(fA, Duration.Inf), Await.result(fB, Duration.Inf))
+        assert(!ra.skipped && !rb.skipped)
+      }
+      val want = OracleFold.rows(OracleFold.finalState(all))
+      assert(readTable(spark, t).map(x => (x.conv_id, x.turn_idx, x.text)) ==
+        want.map(x => (x.conv_id, x.turn_idx, x.text)),
+        s"seed $seed: concurrent mixed-op replay must equal the sequential oracle")
+    }
   }
 }
