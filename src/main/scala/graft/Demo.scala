@@ -129,6 +129,20 @@ object Demo {
       s"preserved rows: ${rowsTagged == rowsWide}; rollback to tag -> " +
       s"numBuckets=${stateTable.numBuckets} at v${stateTable.currentVersion}")
 
+    // write-audit-publish (B12): stage a batch under an audit name
+    // (pointer untouched), run an audit query on the would-be state,
+    // then publish it as one atomic commit
+    val vPre = table.currentVersion
+    val wapRes = CdcApply.applyBatch(spark, table,
+      log.filter(col("offset") < batchSize),
+      epoch = Some(("demo-wap", 0L)), auditRef = Some("wap-demo"))
+    val auditState = table.readAudit(spark, "wap-demo")
+    val emptyTexts = auditState.filter(col("text").isNull || length(col("text")) === 0).count()
+    val published = table.publishAudit("wap-demo")
+    println(s"[demo] write-audit-publish: staged ${wapRes.eventsSeen} events as 'wap-demo' " +
+      s"(pointer held at v$vPre), audit found $emptyTexts empty texts in " +
+      s"${auditState.count()} would-be rows, published -> v${published.version}")
+
     // multi-schema payload classification + typed extraction (reference
     // value.converter.schema.names + extract/Cast-SMT): two JSON shapes
     // on one topic, each with its own typed extract columns; an unmatched

@@ -120,6 +120,16 @@ object CdcApply {
     *                     Epoch-tagged batches overwrite their own epoch
     *                     partition on re-delivery (idempotent); ad-hoc
     *                     batches append (at-least-once).
+    * @param auditRef write-audit-publish (B12): stage the batch's full
+    *                     would-be snapshot under this audit name instead
+    *                     of committing — the table pointer is untouched
+    *                     until `table.publishAudit(name)`; audit queries
+    *                     run on `table.readAudit`. MOR-only (like the
+    *                     change feed); quarantine rows are written at
+    *                     STAGE time (they are the record of the staging
+    *                     act and re-staging overwrites them). Epoch
+    *                     markers ride the staged snapshot and land only
+    *                     at publish.
     */
   def applyBatch(
       spark: SparkSession,
@@ -127,12 +137,16 @@ object CdcApply {
       events: DataFrame,
       spec: MergeSpec = MergeSpec(),
       epoch: Option[(String, Long)] = None,
-      rejectedDir: Option[String] = None): BatchResult = {
+      rejectedDir: Option[String] = None,
+      auditRef: Option[String] = None): BatchResult = {
 
     // enum-valued spec fields fail loudly on a typo (a misspelled value
     // would otherwise silently select the fallback plan)
     require(Set("mor", "cow")(spec.mergeStrategy),
       s"mergeStrategy must be 'mor' or 'cow', got '${spec.mergeStrategy}'")
+    require(auditRef.isEmpty || spec.mergeStrategy == "mor",
+      "write-audit-publish stages MOR delta snapshots; mergeStrategy='cow' " +
+        "rewrites shared bucket files in place and cannot stage an isolated audit")
     require(Set("agg", "join")(spec.foldStrategy),
       s"foldStrategy must be 'agg' or 'join', got '${spec.foldStrategy}'")
     require(Set("key", "bucket")(spec.foldAlignment),
@@ -283,7 +297,7 @@ object CdcApply {
             if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
             else MergeEngine.netActionsViaJoin(valid, wipes)
           applyMor(spark, table, snap0, normalize(actions), wipes0, evolved, epoch, planF,
-            writeQuarantine, preAligned = aligned.isDefined)
+            writeQuarantine, preAligned = aligned.isDefined, auditRef = auditRef)
         case _ =>
           val lineage = planAgg(withBuckets = true)
           val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
@@ -366,7 +380,8 @@ object CdcApply {
       epoch: Option[(String, Long)],
       lineageF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
       quarantine: Long => Unit,
-      preAligned: Boolean): BatchResult = {
+      preAligned: Boolean,
+      auditRef: Option[String] = None): BatchResult = {
 
     // the bucket layout this batch stages under, pinned ONCE: the commit
     // retry loop re-reads the parent, and if a rebucket landed meanwhile
@@ -440,7 +455,7 @@ object CdcApply {
     while (true) {
       val seq = parent0.version + 1
       try {
-        val snap = table.commit { parent =>
+        val buildChild: IceLite.Snapshot => IceLite.Snapshot = { parent =>
           epoch.foreach { case (sid, bid) =>
             if (lastEpoch(parent, sid).exists(_ >= bid)) throw AlreadyApplied(bid)
           }
@@ -460,6 +475,15 @@ object CdcApply {
               "deltaFilesAdded" -> staged.values.map(_.size.toLong).sum,
               "eventsApplied" -> eventsSeen,
               "rejected" -> rejectedCount))
+        }
+        // Audit staging (B12) evaluates the SAME child-building callback —
+        // epoch-redelivery skip and race fences included — but writes the
+        // result under the audit name instead of the CAS pointer. A race
+        // during staging retries exactly like a commit race (the audit
+        // must describe current+batch at publish time).
+        val snap = auditRef match {
+          case Some(an) => table.stageAudit(an, buildChild)
+          case None     => table.commit(buildChild)
         }
         if (epoch.isEmpty) quarantine(rejectedCount)
         return BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)

@@ -403,6 +403,125 @@ final class IceLiteTable(val dir: String) {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Write-audit-publish (B12)
+  // ------------------------------------------------------------------
+
+  private val auditsDir = Paths.get(dir, "audits")
+
+  /** Validated audit-file path (same naming rules as refs; dotfiles are
+    * the tmp namespace).
+    */
+  private def auditPath(name: String): Path = {
+    require(name.nonEmpty && !name.startsWith(".") &&
+      name.forall(c => c.isLetterOrDigit || "-_.".contains(c)),
+      s"audit name '$name' must be [A-Za-z0-9_-][A-Za-z0-9._-]*")
+    auditsDir.resolve(s"$name.json")
+  }
+
+  /** Unpublished audits: name → the parent version each was staged on.
+    *
+    * Write-audit-publish is the curation gate a training-data pipeline
+    * runs before data goes live: apply a batch so its FULL would-be
+    * snapshot is staged under a name (data files written, table pointer
+    * untouched), run audit queries against [[readAudit]] (contamination,
+    * dedup rates, PII scans — the q41/q30-class checks), then
+    * [[publishAudit]] atomically or [[discardAudit]]. Iceberg's
+    * WAP-branch pattern re-expressed on IceLite's snapshot log; the
+    * reference's analogue is its per-put transaction boundary
+    * (`.../sink/JdbcDbWriter.java:56,83`) — WAP widens that boundary to
+    * "after a human/automated audit", which JDBC autocommit cannot.
+    */
+  def audits: Map[String, Long] =
+    if (!Files.isDirectory(auditsDir)) Map.empty
+    else listDir(auditsDir)(_.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".json") && !n.startsWith(".")
+    }.toSeq).flatMap { p =>
+      scala.util.Try(
+        p.getFileName.toString.stripSuffix(".json") -> readSnapshot(p).parentVersion).toOption
+    }.toMap
+
+  /** Stage `build`'s result as the named UNPUBLISHED audit snapshot:
+    * `build` sees the current snapshot as parent and its result is
+    * written as a self-sufficient FULL snapshot json under `audits/` —
+    * invisible to version listings, time travel, the change feed and
+    * expiry. Re-staging a name replaces it (the previous stage's files
+    * become crash-class orphans unless [[discardAudit]] ran first).
+    * Expiry note: the audit shares its parent's data files; since
+    * `keepLast >= 1` always keeps the current version and a publish is
+    * only valid while the parent IS current, expiry cannot break a
+    * still-publishable audit.
+    */
+  private[graft] def stageAudit(name: String, build: Snapshot => Snapshot): Snapshot = {
+    val target = auditPath(name)
+    val base = current
+    val next0 = build(base).copy(version = base.version + 1, parentVersion = base.version)
+    val next = next0.copy(
+      files = next0.files.filter(_._2.nonEmpty),
+      deltas = next0.deltas.filter(_._2.nonEmpty))
+    Files.createDirectories(auditsDir)
+    val tmp = auditsDir.resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, toJson(next))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** The staged audit snapshot (metadata view). */
+  def auditSnapshot(name: String): Snapshot = {
+    val p = auditPath(name)
+    if (!Files.exists(p)) throw new NoSuchElementException(s"no audit '$name' on table $dir")
+    readSnapshot(p)
+  }
+
+  /** The audited WOULD-BE state — what [[read]] will return after
+    * [[publishAudit]]. Bucket-prunable like any read; audit queries and
+    * the whole query surface run against this frame unchanged.
+    */
+  def readAudit(spark: SparkSession, name: String,
+                buckets: Option[Set[Int]] = None): DataFrame =
+    readSnapshotState(spark, auditSnapshot(name), buckets)
+
+  /** Atomically publish the audit: one CAS commit carrying the staged
+    * snapshot's exact file/delta/schema/property state (epoch markers
+    * land with it — a redelivery of the audited batch after publish is
+    * the usual no-op). Fails LOUDLY if any commit landed since the stage
+    * (the audited state no longer describes current+batch): discard and
+    * re-stage — same contract as the rebucket/COW fences.
+    */
+  def publishAudit(name: String): Snapshot = {
+    val a = auditSnapshot(name)
+    val snap = commit { parent =>
+      if (parent.version != a.parentVersion)
+        throw new IllegalStateException(
+          s"audit '$name' was staged against v${a.parentVersion} but $dir is now at " +
+            s"v${parent.version} — discardAudit and re-stage the batch")
+      a
+    }
+    Files.deleteIfExists(auditPath(name))
+    snap
+  }
+
+  /** Drop the audit and delete the data files that belong to IT alone
+    * (everything its snapshot references that its parent does not). If
+    * the parent has already been expired the files are left on disk —
+    * the crash-orphan class — rather than risking a wrong delete.
+    */
+  def discardAudit(name: String): Boolean = {
+    val p = auditPath(name)
+    if (!Files.exists(p)) return false
+    val a = readSnapshot(p)
+    Files.deleteIfExists(p)
+    val own = (a.files.values.flatten ++ a.deltas.values.flatten).toSet
+    scala.util.Try(snapshot(a.parentVersion)).toOption.foreach { par =>
+      val parentRefs = (par.files.values.flatten ++ par.deltas.values.flatten).toSet
+      (own -- parentRefs).foreach(rel => Files.deleteIfExists(Paths.get(dir).resolve(rel)))
+    }
+    true
+  }
+
   private def readSnapshotState(
       spark: SparkSession, s: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
     val sch = schemaOf(s)
