@@ -95,6 +95,74 @@ class WapSpec extends SparkSuite {
     assert(stateOf(t).map(_._3).sorted == Seq("a2", "direct", "seed"))
   }
 
+  test("concurrent audit writer vs direct writer: stale publishes are discarded+re-staged, final state equals oracle") {
+    // One writer commits directly while another stages+publishes through
+    // the audit gate, truly concurrently. Staging reuses applyMor's race
+    // fences (a commit landing mid-stage re-stages against the new
+    // parent), and a commit landing between stage and publish makes the
+    // publish fail loudly — the documented remedy (discard + re-stage +
+    // re-publish) must converge, and the final table must equal the
+    // sequential oracle over both writers' events (disjoint conv
+    // universes make the merged oracle commit-order independent).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rnd = new scala.util.Random(37)
+    val dir = tmpDir("wap-race") + "/t"
+    val t = IceLite.create(dir, turnSchema, 8)
+    def randomBatch(prefix: String, base: Long, n: Int) =
+      (0 until n).map { i =>
+        val off = base + i
+        val conv = f"$prefix${rnd.nextInt(10)}%02d"
+        val turn = rnd.nextInt(3)
+        rnd.nextInt(100) match {
+          case r if r < 50 => ins(off, conv, turn, s"$prefix-ins-$off")
+          case r if r < 75 => ups(off, conv, turn, s"$prefix-ups-$off")
+          case r if r < 90 => del(off, conv, Some(turn))
+          case _           => del(off, conv, None)
+        }
+      }
+    var all = Vector.empty[graft.model.ChangeEvent]
+    var republishes = 0
+    (0 until 3).foreach { r =>
+      val bDirect = randomBatch("dw", r * 1000L, 25 + rnd.nextInt(15))
+      val bAudit = randomBatch("aw", r * 1000L + 500, 25 + rnd.nextInt(15))
+      all = all ++ bDirect ++ bAudit
+      val fDirect = Future(
+        CdcApply.applyBatch(spark, t, eventsDF(spark, bDirect), epoch = Some(("dw", r.toLong))))
+      val fAudit = Future(
+        CdcApply.applyBatch(spark, t, eventsDF(spark, bAudit),
+          epoch = Some(("aw", r.toLong)), auditRef = Some("gate")))
+      assert(!Await.result(fAudit, Duration.Inf).skipped)
+      // publish while the direct writer may still be in flight: a stale
+      // publish is discarded and the batch re-staged until it lands
+      var published = false
+      var attempts = 0
+      while (!published) {
+        attempts += 1
+        assert(attempts <= 10, s"round $r: publish did not converge")
+        try { t.publishAudit("gate"); published = true }
+        catch {
+          case e: IllegalStateException if e.getMessage.contains("re-stage") =>
+            republishes += 1
+            t.discardAudit("gate")
+            assert(!CdcApply.applyBatch(spark, t, eventsDF(spark, bAudit),
+              epoch = Some(("aw", r.toLong)), auditRef = Some("gate")).skipped)
+        }
+      }
+      assert(!Await.result(fDirect, Duration.Inf).skipped)
+    }
+    assert(t.audits.isEmpty)
+    val want = OracleFold.rows(OracleFold.finalState(all)).map(x => (x.conv_id, x.turn_idx, x.text))
+    assert(stateOf(t) == want,
+      s"concurrent audit-gated replay must equal the sequential oracle ($republishes re-stages)")
+    // every audited epoch landed exactly once: redeliveries are no-ops
+    (0 until 3).foreach { r =>
+      assert(CdcApply.applyBatch(spark, t,
+        eventsDF(spark, Seq(ins(9000L + r, "aw00", 0, "redo"))), epoch = Some(("aw", r.toLong))).skipped)
+    }
+  }
+
   test("re-staging a name replaces it; COW audit rejected; bad names rejected; quarantine at stage time") {
     val dir0 = tmpDir("wap-misc")
     val dir = dir0 + "/t"
