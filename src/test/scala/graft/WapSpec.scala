@@ -176,6 +176,18 @@ class WapSpec extends SparkSuite {
     // the second staging replaced the first wholesale
     assert(stateOf(t).map(_._3).sorted == Seq("second", "seed"))
 
+    // named audits coexist: both list with their stage parents, and
+    // publishing one makes the other stale (its parent moved)
+    val vCo = t.currentVersion
+    CdcApply.applyBatch(spark, t,
+      eventsDF(spark, Seq(ins(5L, "c5", 0, "co-a"))), epoch = Some(("w", 2L)), auditRef = Some("co-a"))
+    CdcApply.applyBatch(spark, t,
+      eventsDF(spark, Seq(ins(6L, "c6", 0, "co-b"))), epoch = Some(("w", 3L)), auditRef = Some("co-b"))
+    assert(t.audits == Map("co-a" -> vCo, "co-b" -> vCo))
+    t.publishAudit("co-a")
+    intercept[IllegalStateException](t.publishAudit("co-b"))
+    assert(t.discardAudit("co-b") && t.audits.isEmpty)
+
     intercept[IllegalArgumentException](
       CdcApply.applyBatch(spark, t, eventsDF(spark, Seq(ins(3L, "c4", 0, "z"))),
         spec = MergeSpec(mergeStrategy = "cow"), auditRef = Some("y")))
