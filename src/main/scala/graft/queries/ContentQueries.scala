@@ -801,6 +801,55 @@ object ContentQueries {
         .toDF()
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
           length(col("frame_bytes")).cast("long").as("frame_len"))
+    }),
+
+    // Context-window packing manifest — GPT-style pretraining
+    // concatenates each shard's documents in a deterministic order
+    // (md5(doc_id), collision-free because doc_id is unique) and slices
+    // the token stream at exact context-length boundaries (budget 256
+    // here). Emits, per document, its shard, the token-stream offset it
+    // starts at, and the [first_chunk, last_chunk] context windows it
+    // lands in — everything a trainer's reader needs to seek. ONE
+    // running-sum window per shard over manifest-sized rows (ids +
+    // counts, never text): the shard count IS the parallelism knob (it
+    // is also the trainer's reader count), so at 100 TB you size shards
+    // ≈ O(cluster cores) and each window stays one sorted pass over its
+    // shard's (doc_id, n_tokens) rows.
+    "q50_token_packing" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(8)).cast("int").as("shard"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      val w = Window.partitionBy("shard").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_tok"),
+          expr("start_tok div 256").as("first_chunk"),
+          expr("(start_tok + n_tokens - 1) div 256").as("last_chunk"),
+          expr("start_tok % 256").as("chunk_offset"))
+    }),
+
+    // RAG chunk split: overlapping word windows (size 32, stride 16,
+    // last chunk always ends at the document's last word) — the
+    // retrieval-indexing materialization (one row per chunk, text
+    // carried). Purely narrow — split → bounded sequence → explode →
+    // slice — so there is NO shuffle at any corpus size and the parquet
+    // scan prunes to (doc_id, text); output volume is ~2× the text (the
+    // stride-half overlap), which is the operator's intrinsic cost.
+    "q51_rag_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .withColumn("k", expr("1L + (CASE WHEN n > 32 THEN (n - 32 + 15) div 16 ELSE 0L END)"))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(expr("sequence(0, cast(k - 1 as int))")).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("ws"), col("chunk_idx") * 16 + 1,
+            least(lit(32L), col("n") - col("chunk_idx") * 16).cast("int")), " ").as("chunk_text"),
+          (least(col("chunk_idx").cast("long") * 16 + 32, col("n"))
+            - col("chunk_idx") * 16).as("chunk_words"))
     }))
 
   // ---- programmatically-built oracle fragments ----
@@ -1091,5 +1140,33 @@ object ContentQueries {
         | FROM embeddings)
         |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(q) AS BIGINT) // count(*) AS centroid_x1000
-        |FROM q GROUP BY label, dim""".stripMargin)
+        |FROM q GROUP BY label, dim""".stripMargin,
+
+    "q50_token_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 8 AS INT) AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, start_tok,
+        |  start_tok // 256 AS first_chunk,
+        |  (start_tok + n_tokens - 1) // 256 AS last_chunk,
+        |  start_tok % 256 AS chunk_offset
+        |FROM s""".stripMargin,
+
+    "q51_rag_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |k AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+        |      1 + (CASE WHEN len(ws) > 32 THEN (len(ws) - 32 + 15) // 16 ELSE 0 END) AS k FROM w),
+        |e AS (SELECT doc_id, ws, n, CAST(unnest(range(0, k)) AS INT) AS chunk_idx FROM k)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(ws[1 + chunk_idx*16 : least(chunk_idx*16 + 32, n)], ' ') AS chunk_text,
+        |  CAST(least(chunk_idx*16 + 32, n) - chunk_idx*16 AS BIGINT) AS chunk_words
+        |FROM e""".stripMargin)
 }

@@ -252,6 +252,48 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q50 packing: every shard's token stream is gapless from 0 and chunk ids match the offsets") {
+    val df = SparkEntry.queries("q50_token_packing")(spark, dir)
+    // gapless concatenation: per shard, sum of doc lengths == end of the
+    // last doc's span, and the stream starts at offset 0
+    val byShard = df.groupBy("shard").agg(
+      sum("n_tokens").as("total"),
+      max(col("start_tok") + col("n_tokens")).as("end"),
+      min("start_tok").as("first")).collect()
+    assert(byShard.nonEmpty)
+    byShard.foreach { r =>
+      assert(r.getAs[Long]("total") == r.getAs[Long]("end"), r.toString)
+      assert(r.getAs[Long]("first") == 0L, r.toString)
+    }
+    // chunk ids are pure arithmetic over the span
+    assert(df.filter(
+      col("first_chunk") =!= expr("start_tok div 256") ||
+      col("last_chunk") =!= expr("(start_tok + n_tokens - 1) div 256") ||
+      col("chunk_offset") =!= expr("start_tok % 256")).count() == 0)
+    // doc count preserved (a packing manifest drops nothing)
+    assert(df.count() == spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
+  test("q51 chunks: taking each chunk's first stride words (last chunk whole) reconstructs every doc") {
+    val chunks = SparkEntry.queries("q51_rag_chunks")(spark, dir)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_idx"))
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq == sorted.indices.toSeq, s"doc $id")
+      val rebuilt = sorted.zipWithIndex.map { case (r, i) =>
+        val ws = r.getAs[String]("chunk_text").split(" ")
+        assert(ws.length == r.getAs[Long]("chunk_words"), s"doc $id chunk $i")
+        assert(ws.length >= 1 && ws.length <= 32, s"doc $id chunk $i")
+        if (i == sorted.length - 1) ws else ws.take(16)
+      }.flatten.mkString(" ")
+      assert(rebuilt == docs(id), s"doc $id not covered by its chunks")
+    }
+  }
+
   test("entry: flagship engine pipeline yields rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
