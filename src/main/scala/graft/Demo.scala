@@ -175,6 +175,17 @@ object Demo {
     println(s"[demo] multi-schema: classified ${msRes.eventsSeen - msRes.rejected} payloads " +
       s"(quarantined ${msRes.rejected} unmatched) -> typed columns [$msRows]; " +
       s"score type=${msTable.schema("score").dataType.simpleString}")
+
+    // metadata tables: the observability surface (tbl.snapshots/files/refs)
+    val snapsDf = graft.table.MetaTables.snapshots(spark, table)
+    val filesDf = graft.table.MetaTables.files(spark, table)
+    val health = filesDf.groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum("row_count").as("rows"))
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}f/${r.getLong(2)}r")
+      .sorted.mkString(", ")
+    println(s"[demo] metadata tables: ${snapsDf.count()} retained snapshots " +
+      s"(current v${table.currentVersion}); live files: $health; " +
+      s"refs: ${graft.table.MetaTables.refs(spark, table).count()}")
     spark.stop()
   }
 }

@@ -56,6 +56,12 @@ final class IceLiteTable(val dir: String) {
   def currentVersion: Long =
     listSnapshotVersions.lastOption.getOrElse(0L)
 
+  /** Retained (non-expired) snapshot versions, oldest → newest. The
+    * listing the metadata tables ([[MetaTables]]) enumerate — O(retained
+    * versions), never touches data files.
+    */
+  def versions: Seq[Long] = listSnapshotVersions
+
   // Files.list/Files.walk hold a directory fd until closed — a long-running
   // streaming driver calls currentVersion every epoch, so leaking them to GC
   // would exhaust the fd limit (EMFILE). Always materialize-then-close.
@@ -80,7 +86,7 @@ final class IceLiteTable(val dir: String) {
         .map(n => n.stripPrefix("c").stripSuffix(".json").toLong)
         .toSeq).sorted
 
-  private def vFile(v: Long): Path = snapDir.resolve(f"v$v%010d.json")
+  private[table] def vFile(v: Long): Path = snapDir.resolve(f"v$v%010d.json")
   private def cFile(v: Long): Path = snapDir.resolve(f"c$v%010d.json")
 
   // Memoized folded state (immutable value; volatile write). A streaming
