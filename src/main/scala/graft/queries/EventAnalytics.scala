@@ -158,6 +158,30 @@ object EventAnalytics {
           col("event_id").as("valid_from_id"),
           lead(col("event_id"), 1).over(w).as("valid_to_id"),
           when(lead(col("event_id"), 1).over(w).isNull, 1).otherwise(0).as("is_current"))
+    }),
+
+    // -- session transcript rendering: assemble each user's ordered event
+    // stream into ONE training document ("type:props" per line, offset
+    // order) — the render-for-training materialization a transcript
+    // pipeline ships to the tokenizer. One hash aggregation keyed by
+    // user_id: collect_list gathers the session partition-locally after
+    // the key exchange, array_sort makes the assembly order-deterministic
+    // regardless of arrival order, and the output row is session-sized —
+    // the operator's intrinsic output, the shuffle carries each event
+    // exactly once. (A key whose history exceeds executor memory is the
+    // q34 gap-split's salt boundary, same note as the header.)
+    "q52_render_transcript" -> ((s, dir) => {
+      t(s, dir, "events").groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"),
+        expr("""array_join(
+                  transform(
+                    array_sort(collect_list(named_struct(
+                      'id', event_id,
+                      'line', concat(event_type, ':', props)))),
+                    x -> x.line),
+                  chr(10))""").as("transcript"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -224,5 +248,11 @@ object EventAnalytics {
         |  lead(event_id) OVER w AS valid_to_id,
         |  CAST(CASE WHEN lead(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM events WHERE event_type IN ('signup','purchase','error')
-        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+    "q52_render_transcript" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(event_id) AS BIGINT) AS first_event_id,
+        |  CAST(max(event_id) AS BIGINT) AS last_event_id,
+        |  string_agg(event_type || ':' || props, chr(10) ORDER BY event_id) AS transcript
+        |FROM events GROUP BY user_id""".stripMargin)
 }

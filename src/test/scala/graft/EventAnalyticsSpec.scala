@@ -109,4 +109,21 @@ class EventAnalyticsSpec extends SparkSuite {
     // total distinct windows: days 1, 2, 9
     assert(df.select("w_start").distinct().count() == 3)
   }
+
+  test("q52 render: one doc per user, lines in event_id order regardless of input order") {
+    val df = SparkEntry.queries("q52_render_transcript")(spark, fixtureDir)
+    assert(df.count() == 3)
+    val u1 = df.filter(col("user_id") === 1L).collect().head
+    assert(u1.getAs[Long]("n_events") == 4L)
+    assert(u1.getAs[Long]("first_event_id") == 1L && u1.getAs[Long]("last_event_id") == 4L)
+    assert(u1.getAs[String]("transcript") ==
+      "view:p\nclick:p\nview:p\npurchase:p")
+    // order determinism: the fixture written in reverse yields the same doc
+    val rev = tmpDir("event-analytics-rev") + "/t"
+    spark.read.parquet(s"$fixtureDir/events.parquet").orderBy(col("event_id").desc)
+      .coalesce(1).write.parquet(s"$rev/events.parquet")
+    val u1r = SparkEntry.queries("q52_render_transcript")(spark, rev)
+      .filter(col("user_id") === 1L).collect().head
+    assert(u1r.getAs[String]("transcript") == u1.getAs[String]("transcript"))
+  }
 }
