@@ -176,6 +176,23 @@ object Demo {
       s"(quarantined ${msRes.rejected} unmatched) -> typed columns [$msRows]; " +
       s"score type=${msTable.schema("score").dataType.simpleString}")
 
+    // dead-letter replay (B14): fix the unmatched payload (project `after`
+    // back to the source shape + rewrite the text into a matching schema)
+    // and re-ingest it exactly-once; the consumed quarantine partition is
+    // archived after the commit
+    val dlqRes = graft.operators.DeadLetter.replay(spark, msTable, s"$dir/ms-rej",
+      epoch = ("ms-dlq", 0L), spec = msSpec) { df =>
+      df.withColumn("after", when(col("after").isNotNull, struct(
+        col("after.conv_id").as("conv_id"), col("after.turn_idx").as("turn_idx"),
+        col("after.role").as("role"),
+        lit("""{"msg":{"kind":"recovered","score":1}}""").as("text"),
+        col("after.tool").as("tool"), col("after.ts").as("ts"))))
+    }
+    println(s"[demo] dead-letter replay: consumed ${dlqRes.consumed}, healed ${dlqRes.healed}, " +
+      s"requeued ${dlqRes.requeued}, archived ${dlqRes.archivedPartitions} partition(s) -> " +
+      s"table now ${msTable.read(spark).count()} rows, " +
+      s"recovered kind=${msTable.read(spark).filter(col("kind") === "recovered").count()}")
+
     // metadata tables: the observability surface (tbl.snapshots/files/refs)
     val snapsDf = graft.table.MetaTables.snapshots(spark, table)
     val filesDf = graft.table.MetaTables.files(spark, table)

@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.MergeSpec
+import graft.table.IceLiteTable
+
+/** Dead-letter replay (B14) — the operational loop the reference's
+  * errant-record-reporter semantics leave open: the connector reports
+  * errant records and advances past them
+  * (`/root/reference/src/test/java/io/confluent/connect/jdbc/sink/JdbcSinkTaskTest.java:324-492`),
+  * and someone must eventually fix and re-deliver them. [[CdcApply]]
+  * quarantines such rows to `rejectedDir` with the full envelope, the
+  * rejection reason (`_error`) and the epoch that rejected them
+  * (`_rejected_at_epoch`); this operator re-ingests them through a
+  * caller-supplied correction, exactly-once:
+  *
+  *  1. read the store, snapshot the consumed epoch partitions;
+  *  2. apply the caller's `fix` (it sees `_error`, so corrections can
+  *     route on the rejection reason);
+  *  3. re-apply through the NORMAL [[CdcApply.applyBatch]] under the
+  *     replay's own (streamId, epochId) — full validation runs again and
+  *     rows the fix did not heal are re-quarantined to a SEPARATE
+  *     `requeueDir` (never the source dir: epoch-partition overwrite in a
+  *     shared dir would let a replay epoch number collide with an ingest
+  *     epoch's partition);
+  *  4. archive (delete) the consumed source partitions — only AFTER the
+  *     commit, so a crash between commit and archive re-runs as the usual
+  *     exactly-once skip followed by the archive.
+  *
+  * Convergence note: a redelivery of the ORIGINAL ingest epoch re-creates
+  * its quarantine partition (quarantine-before-commit is idempotent per
+  * epoch), after which re-running the replay under a fresh epoch heals it
+  * again — both loops are idempotent, so any interleaving converges.
+  * Even the read↔archive race with such a redelivery is benign: an
+  * epoch's quarantine partition is a deterministic function of its batch
+  * (same events ⇒ same rejects), so a partition re-created mid-replay
+  * holds exactly the rows the replay just consumed and the archive
+  * deletes nothing new.
+  *
+  * Scale: the store is rejection-sized (quarantines are the exception
+  * path), the consumed-partition listing is O(epochs with rejects), and
+  * the re-apply is a normal O(changes) batch.
+  *
+  * Payload-extraction pipelines: extraction rebuilds `after` with the
+  * extract columns appended BEFORE validation, so their quarantined rows
+  * carry those (null) fields inside `after`. The fix must project `after`
+  * back to the source shape — otherwise the re-apply's extraction hits
+  * its own collision guard ("extract column names collide") loudly,
+  * never silently double-extracting. Pinned by DeadLetterSpec.
+  */
+object DeadLetter {
+
+  /** The dead-letter store as a DataFrame: one row per quarantined event,
+    * envelope columns plus `_error` and `_rejected_at_epoch`. Missing or
+    * still-empty stores read as an empty frame rather than failing (a
+    * healthy pipeline has no dead letters).
+    */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (!Files.isDirectory(Paths.get(dir))) None
+    else scala.util.Try(spark.read.parquet(dir)).toOption
+
+  final case class ReplayResult(
+      batch: Option[CdcApply.BatchResult],
+      consumed: Long,
+      requeued: Long,
+      archivedPartitions: Int) {
+    def healed: Long = batch.map(b => if (b.skipped) 0L else consumed - b.rejected).getOrElse(0L)
+  }
+
+  /** Re-ingest the dead-letter store at `dir` into `table` through `fix`.
+    *
+    * @param epoch      the replay's OWN (streamId, epochId) — use a
+    *                   dedicated stream id (e.g. "dlq") so replay markers
+    *                   never collide with the ingest stream's
+    * @param requeueDir where rows the fix did not heal are re-quarantined
+    *                   (defaults to `<dir>.requeue`)
+    * @param archive    delete the consumed source partitions after the
+    *                   commit (set false to keep an immutable audit copy)
+    * @param fix        correction applied to the quarantined rows; sees
+    *                   `_error` and `_rejected_at_epoch`, both dropped
+    *                   before the re-apply
+    */
+  def replay(
+      spark: SparkSession,
+      table: IceLiteTable,
+      dir: String,
+      epoch: (String, Long),
+      spec: MergeSpec = MergeSpec(),
+      requeueDir: Option[String] = None,
+      archive: Boolean = true)(fix: DataFrame => DataFrame): ReplayResult = {
+    val src = read(spark, dir) match {
+      case None     => return ReplayResult(None, 0L, 0L, 0)
+      case Some(df) => df
+    }
+    val consumedParts = src.select(col("_rejected_at_epoch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val consumed = src.count()
+    if (consumed == 0L) return ReplayResult(None, 0L, 0L, 0)
+
+    val requeue = requeueDir.getOrElse(s"$dir.requeue")
+    val fixed = fix(src).drop("_error", "_rejected_at_epoch")
+    val res = CdcApply.applyBatch(spark, table, fixed, spec,
+      epoch = Some(epoch), rejectedDir = Some(requeue))
+
+    val archived =
+      if (!archive) 0
+      else consumedParts.count { v =>
+        val p = Paths.get(dir).resolve(s"_rejected_at_epoch=$v")
+        if (!Files.isDirectory(p)) false
+        else {
+          // children first (parquet part files), then the partition dir
+          val s = Files.list(p)
+          try s.forEach(f => Files.deleteIfExists(f)) finally s.close()
+          Files.deleteIfExists(p)
+        }
+      }
+    ReplayResult(Some(res), consumed, res.rejected, archived)
+  }
+}
