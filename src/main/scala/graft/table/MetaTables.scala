@@ -37,25 +37,32 @@ object MetaTables {
     */
   def snapshots(spark: SparkSession, table: IceLiteTable): DataFrame = {
     import spark.implicits._
-    val rows = table.versions.map { v =>
-      val s = table.snapshot(v)
-      val base = s.files.values.flatten.toSeq
-      val deltas = s.deltas.values.flatten.toSeq
-      SnapshotRow(
-        version = s.version,
-        parent_version = s.parentVersion,
-        committed_at = new java.sql.Timestamp(
-          Files.getLastModifiedTime(table.vFile(v)).toMillis),
-        num_buckets = s.numBuckets,
-        last_delta_seq = s.lastDeltaSeq,
-        n_base_files = base.size,
-        n_delta_files = deltas.size,
-        base_bytes = sizeOf(table, base),
-        delta_bytes = sizeOf(table, deltas),
-        metrics = s.metrics,
-        n_epochs = s.properties.keysIterator.count(_.startsWith("epoch:")))
+    // a version listed here can be expired before its read below — such a
+    // snapshot simply drops out of the listing (the same state a re-list
+    // would return), rather than failing the whole metadata query
+    val rows = table.versions.flatMap { v =>
+      scala.util.Try(snapshotRow(table, v)).toOption
     }
     spark.createDataset(rows).toDF()
+  }
+
+  private def snapshotRow(table: IceLiteTable, v: Long): SnapshotRow = {
+    val s = table.snapshot(v)
+    val base = s.files.values.flatten.toSeq
+    val deltas = s.deltas.values.flatten.toSeq
+    SnapshotRow(
+      version = s.version,
+      parent_version = s.parentVersion,
+      committed_at = new java.sql.Timestamp(
+        Files.getLastModifiedTime(table.vFile(v)).toMillis),
+      num_buckets = s.numBuckets,
+      last_delta_seq = s.lastDeltaSeq,
+      n_base_files = base.size,
+      n_delta_files = deltas.size,
+      base_bytes = sizeOf(table, base),
+      delta_bytes = sizeOf(table, deltas),
+      metrics = s.metrics,
+      n_epochs = s.properties.keysIterator.count(_.startsWith("epoch:")))
   }
 
   /** One row per live file of `version` (default: current): bucket, path

@@ -46,6 +46,12 @@ class MetaTablesSpec extends SparkSuite {
     // commit instants are monotone along the chain
     val ts = rows.map(_.getAs[java.sql.Timestamp]("committed_at").getTime)
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // expiry shrinks the listing to exactly the retained versions
+    t.expireSnapshots(keepLast = 1)
+    val after = MetaTables.snapshots(spark, t).select("version").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(after == t.versions)
+    assert(after.nonEmpty && after.last == t.currentVersion)
   }
 
   test("files: manifest matches the snapshot's file lists; footer rows sum to the written rows") {
