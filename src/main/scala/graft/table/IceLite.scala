@@ -114,15 +114,7 @@ final class IceLiteTable(val dir: String) {
     // and the missing-file signal may arrive WRAPPED (e.g.
     // UncheckedIOException around a FileNotFound from a stream) — match
     // the cause chain, not just the top-level type.
-    def missingFile(e: Throwable): Boolean = {
-      var c = e; var depth = 0
-      while (c != null && depth < 8) {
-        if (c.isInstanceOf[java.nio.file.NoSuchFileException] ||
-          c.isInstanceOf[java.io.FileNotFoundException]) return true
-        c = c.getCause; depth += 1
-      }
-      false
-    }
+    import IceLite.missingFile
     var attempt = 0
     while (true) {
       try return snapshot0(version)
@@ -857,6 +849,23 @@ final class IceLiteTable(val dir: String) {
 }
 
 object IceLite {
+
+  /** True iff `e`'s cause chain carries a missing-file signal — the
+    * concurrent-expiry race marker ([[IceLiteTable.snapshot]]'s retry and
+    * [[MetaTables.snapshots]]'s drop-from-listing both key on it; any
+    * OTHER failure, e.g. a corrupt v-file, must stay loud). The signal
+    * may arrive wrapped (UncheckedIOException around a FileNotFound from
+    * a stream), hence the bounded cause-chain walk.
+    */
+  private[graft] def missingFile(e: Throwable): Boolean = {
+    var c = e; var depth = 0
+    while (c != null && depth < 8) {
+      if (c.isInstanceOf[java.nio.file.NoSuchFileException] ||
+        c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause; depth += 1
+    }
+    false
+  }
 
   /** JVM-wide ref/expiry mutual exclusion, keyed by canonical table dir
     * (IceLiteTable instances are cheap and callers create several per

@@ -39,9 +39,12 @@ object MetaTables {
     import spark.implicits._
     // a version listed here can be expired before its read below — such a
     // snapshot simply drops out of the listing (the same state a re-list
-    // would return), rather than failing the whole metadata query
+    // would return), rather than failing the whole metadata query. ONLY
+    // the missing-file signal is tolerated: a corrupt v-file must fail
+    // loudly, not silently vanish from the observability surface.
     val rows = table.versions.flatMap { v =>
-      scala.util.Try(snapshotRow(table, v)).toOption
+      try Some(snapshotRow(table, v))
+      catch { case e: Throwable if IceLite.missingFile(e) => None }
     }
     spark.createDataset(rows).toDF()
   }
