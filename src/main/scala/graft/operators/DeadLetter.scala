@@ -56,12 +56,18 @@ object DeadLetter {
 
   /** The dead-letter store as a DataFrame: one row per quarantined event,
     * envelope columns plus `_error` and `_rejected_at_epoch`. Missing or
-    * still-empty stores read as an empty frame rather than failing (a
-    * healthy pipeline has no dead letters).
+    * still-empty stores read as None rather than failing (a healthy
+    * pipeline has no dead letters; a fully-archived store is an existing
+    * dir with no parquet left, which fails schema inference). ONLY those
+    * two signals map to None — a corrupt store must fail loudly, never
+    * read as "no dead letters".
     */
   def read(spark: SparkSession, dir: String): Option[DataFrame] =
     if (!Files.isDirectory(Paths.get(dir))) None
-    else scala.util.Try(spark.read.parquet(dir)).toOption
+    else try Some(spark.read.parquet(dir)) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+    }
 
   final case class ReplayResult(
       batch: Option[CdcApply.BatchResult],

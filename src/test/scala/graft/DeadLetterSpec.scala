@@ -135,4 +135,18 @@ class DeadLetterSpec extends SparkSuite {
     val res = DeadLetter.replay(spark, t0, s"$base/nope", epoch = ("dlq", 0L))(identity)
     assert(res.batch.isEmpty && res.consumed == 0L && res.archivedPartitions == 0)
   }
+
+  test("fully-archived store (dir exists, no parquet) reads as None; a corrupt store fails loudly") {
+    val base = tmpDir("dlq-corrupt")
+    val empty = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/archived"))
+    assert(DeadLetter.read(spark, empty.toString).isEmpty)
+    // a store with an unreadable file must NOT read as "no dead letters"
+    val corrupt = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/corrupt/_rejected_at_epoch=0"))
+    java.nio.file.Files.write(corrupt.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] {
+      DeadLetter.read(spark, s"$base/corrupt").foreach(_.count())
+    }
+  }
 }

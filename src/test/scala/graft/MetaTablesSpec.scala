@@ -99,4 +99,25 @@ class MetaTablesSpec extends SparkSuite {
     t.dropTag("train-run-17")
     assert(MetaTables.refs(spark, t).count() == 0)
   }
+
+  test("snapshots: expired-mid-listing versions drop out; a CORRUPT v-file fails loudly") {
+    val (t, _) = freshTable("meta-corrupt")
+    // the current version's v-file is a diff above the create-time
+    // checkpoint, so any snapshot(current) must parse it; fresh handles
+    // below bypass the per-handle state memo
+    val victim = t.currentVersion
+    val vPath = java.nio.file.Paths.get(t.dir, "snap", f"v$victim%010d.json")
+    val orig = java.nio.file.Files.readAllBytes(vPath)
+    java.nio.file.Files.write(vPath, "{not json".getBytes)
+    try intercept[Exception] {
+      MetaTables.snapshots(spark, new graft.table.IceLiteTable(t.dir)).collect()
+    } finally java.nio.file.Files.write(vPath, orig)
+    assert(MetaTables.snapshots(spark, new graft.table.IceLiteTable(t.dir)).count()
+      == t.versions.size.toLong)
+    // deletion (the concurrent-expiry signal) drops the version instead
+    java.nio.file.Files.delete(vPath)
+    val left = MetaTables.snapshots(spark, new graft.table.IceLiteTable(t.dir))
+      .collect().map(_.getAs[Long]("version"))
+    assert(!left.contains(victim) && left.nonEmpty)
+  }
 }
