@@ -130,6 +130,13 @@ object CdcApply {
     *                     act and re-staging overwrites them). Epoch
     *                     markers ride the staged snapshot and land only
     *                     at publish.
+    * @param extraProps caller-supplied snapshot properties that ride the
+    *                     SAME atomic commit as the batch (skipped batches
+    *                     commit nothing, so they land exactly-once with
+    *                     the epoch marker). Used by [[DeadLetter.replay]]
+    *                     to record the consumed quarantine partitions so
+    *                     a crash between commit and archive cannot
+    *                     archive rows the commit never saw.
     */
   def applyBatch(
       spark: SparkSession,
@@ -138,7 +145,8 @@ object CdcApply {
       spec: MergeSpec = MergeSpec(),
       epoch: Option[(String, Long)] = None,
       rejectedDir: Option[String] = None,
-      auditRef: Option[String] = None): BatchResult = {
+      auditRef: Option[String] = None,
+      extraProps: Map[String, String] = Map.empty): BatchResult = {
 
     // enum-valued spec fields fail loudly on a typo (a misspelled value
     // would otherwise silently select the fallback plan)
@@ -297,7 +305,8 @@ object CdcApply {
             if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
             else MergeEngine.netActionsViaJoin(valid, wipes)
           applyMor(spark, table, snap0, normalize(actions), wipes0, evolved, epoch, planF,
-            writeQuarantine, preAligned = aligned.isDefined, auditRef = auditRef)
+            writeQuarantine, preAligned = aligned.isDefined, auditRef = auditRef,
+            extraProps = extraProps)
         case _ =>
           val lineage = planAgg(withBuckets = true)
           val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
@@ -336,7 +345,7 @@ object CdcApply {
             // ⇒ the race check is vacuous; only re-delivery can abort.
             val snap =
               try commitSnapshot(table, snap0, Map.empty, touched, evolved, epoch, lineage,
-                0L, eventsSeen, rejectedCount)
+                0L, eventsSeen, rejectedCount, extraProps)
               catch {
                 case AlreadyApplied(_) => return BatchResult(table.current, skipped = true, 0L, 0L, 0L)
               }
@@ -344,7 +353,7 @@ object CdcApply {
             return BatchResult(snap, skipped = false, 0L, eventsSeen, rejectedCount)
           }
           val r = applyCow(spark, table, normalize(actions), wipes, touched, evolved, spec, epoch, lineage,
-            eventsSeen, rejectedCount, nbPlan = snap0.numBuckets)
+            eventsSeen, rejectedCount, nbPlan = snap0.numBuckets, extraProps = extraProps)
           if (epoch.isEmpty) writeQuarantine(rejectedCount)
           r
       }
@@ -381,7 +390,8 @@ object CdcApply {
       lineageF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
       quarantine: Long => Unit,
       preAligned: Boolean,
-      auditRef: Option[String] = None): BatchResult = {
+      auditRef: Option[String] = None,
+      extraProps: Map[String, String] = Map.empty): BatchResult = {
 
     // the bucket layout this batch stages under, pinned ONCE: the commit
     // retry loop re-reads the parent, and if a rebucket landed meanwhile
@@ -469,7 +479,7 @@ object CdcApply {
               b -> (parent.deltas.getOrElse(b, Seq.empty) ++ fs)
             },
             lastDeltaSeq = seq,
-            properties = parent.properties ++ offsetProps(parent, lineage) ++ epochProps(epoch),
+            properties = parent.properties ++ offsetProps(parent, lineage) ++ epochProps(epoch) ++ extraProps,
             metrics = Map(
               "rowsWritten" -> rowsWritten,
               "deltaFilesAdded" -> staged.values.map(_.size.toLong).sum,
@@ -542,7 +552,8 @@ object CdcApply {
       lineage: Array[org.apache.spark.sql.Row],
       eventsSeen: Long,
       rejectedCount: Long,
-      nbPlan: Int): BatchResult = {
+      nbPlan: Int,
+      extraProps: Map[String, String] = Map.empty): BatchResult = {
 
     // COW applies on top of the CURRENT state: any outstanding MOR deltas
     // of the touched buckets are folded in first (strategy hand-off).
@@ -631,7 +642,7 @@ object CdcApply {
 
       try {
         val snap = commitSnapshot(table, cur, staged, touched, schemaNow, epoch, lineage,
-          rowsWritten, eventsSeen, rejectedCount)
+          rowsWritten, eventsSeen, rejectedCount, extraProps)
         return BatchResult(snap, skipped = false, rowsWritten, eventsSeen, rejectedCount)
       } catch {
         case AlreadyApplied(_) =>
@@ -874,7 +885,8 @@ object CdcApply {
       lineage: Array[org.apache.spark.sql.Row],
       rowsWritten: Long,
       eventsSeen: Long,
-      rejected: Long): IceLite.Snapshot =
+      rejected: Long,
+      extraProps: Map[String, String] = Map.empty): IceLite.Snapshot =
     table.commit { parent =>
       epoch.foreach { case (sid, bid) =>
         if (lastEpoch(parent, sid).exists(_ >= bid)) throw AlreadyApplied(bid)
@@ -921,7 +933,7 @@ object CdcApply {
         files = newFiles.filter(_._2.nonEmpty),
         // the COW rewrite folded any outstanding deltas of these buckets
         deltas = (parent.deltas -- touched.toSeq).filter(_._2.nonEmpty),
-        properties = parent.properties ++ offsetProps(parent, lineage) ++ epochProps(epoch),
+        properties = parent.properties ++ offsetProps(parent, lineage) ++ epochProps(epoch) ++ extraProps,
         metrics = Map(
           "rowsWritten" -> rowsWritten,
           "bucketsRewritten" -> touched.size.toLong,

@@ -18,7 +18,11 @@ import graft.table.IceLiteTable
   * (`_rejected_at_epoch`); this operator re-ingests them through a
   * caller-supplied correction, exactly-once:
   *
-  *  1. read the store, snapshot the consumed epoch partitions;
+  *  1. read the store, snapshot the consumed epoch partitions, and PIN
+  *     the replay to exactly that set (the apply's scan is lazy — without
+  *     the pin, a reject partition landing between planning and execution
+  *     could be applied but not archived, and a later replay would apply
+  *     it a second time);
   *  2. apply the caller's `fix` (it sees `_error`, so corrections can
   *     route on the rejection reason);
   *  3. re-apply through the NORMAL [[CdcApply.applyBatch]] under the
@@ -26,10 +30,16 @@ import graft.table.IceLiteTable
   *     rows the fix did not heal are re-quarantined to a SEPARATE
   *     `requeueDir` (never the source dir: epoch-partition overwrite in a
   *     shared dir would let a replay epoch number collide with an ingest
-  *     epoch's partition);
+  *     epoch's partition). The consumed-partition set rides the SAME
+  *     atomic commit as a `dlq:<streamId>` snapshot property;
   *  4. archive (delete) the consumed source partitions — only AFTER the
-  *     commit, so a crash between commit and archive re-runs as the usual
-  *     exactly-once skip followed by the archive.
+  *     commit. A crash between commit and archive re-runs as the usual
+  *     exactly-once skip, and the skip-path archive is restricted to the
+  *     partition set RECORDED by the committed replay — never the store's
+  *     current contents, which may hold NEW rejects that landed after the
+  *     commit and were never applied (archiving those would lose them).
+  *     A skip with no matching recorded set (a stale re-delivery of an
+  *     older replay epoch) archives nothing, loudly.
   *
   * Convergence note: a redelivery of the ORIGINAL ingest epoch re-creates
   * its quarantine partition (quarantine-before-commit is idempotent per
@@ -98,23 +108,49 @@ object DeadLetter {
       spec: MergeSpec = MergeSpec(),
       requeueDir: Option[String] = None,
       archive: Boolean = true)(fix: DataFrame => DataFrame): ReplayResult = {
-    val src = read(spark, dir) match {
+    val src0 = read(spark, dir) match {
       case None     => return ReplayResult(None, 0L, 0L, 0)
       case Some(df) => df
     }
-    val consumedParts = src.select(col("_rejected_at_epoch").cast("long"))
+    val consumedParts = src0.select(col("_rejected_at_epoch").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
+    // Pin the replay to the snapshot of partitions taken above: every
+    // later scan of `src` (the count, the apply) is lazy and would
+    // otherwise pick up reject partitions landing mid-replay — rows the
+    // commit would apply but the archive (keyed on consumedParts) would
+    // leave behind, to be applied AGAIN by the next replay.
+    val src = src0.where(col("_rejected_at_epoch").cast("long").isin(consumedParts: _*))
     val consumed = src.count()
     if (consumed == 0L) return ReplayResult(None, 0L, 0L, 0)
 
     val requeue = requeueDir.getOrElse(s"$dir.requeue")
     val fixed = fix(src).drop("_error", "_rejected_at_epoch")
+    // the consumed set rides the atomic commit: on a crash-and-rerun the
+    // skip path below archives exactly what the committed replay read
+    val marker = s"dlq:${epoch._1}"
     val res = CdcApply.applyBatch(spark, table, fixed, spec,
-      epoch = Some(epoch), rejectedDir = Some(requeue))
+      epoch = Some(epoch), rejectedDir = Some(requeue),
+      extraProps = Map(marker -> s"${epoch._2}=${consumedParts.mkString(",")}"))
 
+    val archiveParts: Seq[Long] =
+      if (!res.skipped) consumedParts.toSeq
+      else table.current.properties.get(marker).map(_.split("=", 2)) match {
+        case Some(Array(bid, parts)) if bid.toLong == epoch._2 =>
+          // this exact replay epoch committed before a crash — finish its
+          // archive, scoped to what THAT commit recorded as consumed
+          if (parts.isEmpty) Seq.empty else parts.split(",").toSeq.map(_.toLong)
+        case _ =>
+          // stale re-delivery of an older replay epoch (or a pre-marker
+          // commit): the store's current contents were never applied under
+          // THIS epoch — archiving them would lose rows, so keep them all
+          System.err.println(s"[graft] WARN dead-letter replay epoch ${epoch._2} for " +
+            s"stream '${epoch._1}' was skipped with no matching consumed-partition " +
+            "record — archiving nothing; re-run under a fresh epoch to heal the store.")
+          Seq.empty
+      }
     val archived =
       if (!archive) 0
-      else consumedParts.count { v =>
+      else archiveParts.count { v =>
         val p = Paths.get(dir).resolve(s"_rejected_at_epoch=$v")
         if (!Files.isDirectory(p)) false
         else {

@@ -91,6 +91,50 @@ class DeadLetterSpec extends SparkSuite {
     assert(DeadLetter.replay(spark, t0, rej, epoch = ("dlq", 1L), spec = spec)(keyFix).consumed == 0L)
   }
 
+  test("crash window + new rejects: the skip-path archive is scoped to the COMMITTED set") {
+    val base = tmpDir("dlq-crash-new")
+    val t0 = IceLite.create(s"$base/t", turnSchema, 4)
+    val rej = s"$base/rejected"
+    val spec = MergeSpec(mergeStrategy = "mor")
+    CdcApply.applyBatch(spark, t0,
+      eventsDF(spark, Seq(ins(0L, "c1", 0, "a"), brokenIns(1L, "c2", 0, "heal"))), spec,
+      epoch = Some(("ing", 0L)), rejectedDir = Some(rej))
+
+    // replay commits but "crashes" before archiving ...
+    val r1 = DeadLetter.replay(spark, t0, rej, epoch = ("dlq", 0L), spec = spec,
+      archive = false)(keyFix)
+    assert(r1.batch.exists(!_.skipped))
+    // ... and NEW rejects land in the store before the recovery re-run
+    CdcApply.applyBatch(spark, t0,
+      eventsDF(spark, Seq(brokenIns(2L, "c3", 0, "late"))), spec,
+      epoch = Some(("ing", 1L)), rejectedDir = Some(rej))
+
+    // recovery re-run of the SAME replay epoch: the apply skips, and the
+    // archive must delete ONLY the partition the committed replay consumed
+    // (_rejected_at_epoch=0) — NOT the new, never-applied partition 1
+    val r2 = DeadLetter.replay(spark, t0, rej, epoch = ("dlq", 0L), spec = spec)(keyFix)
+    assert(r2.batch.exists(_.skipped))
+    assert(r2.archivedPartitions == 1)
+    assert(t0.read(spark).filter(col("conv_id") === "c3").count() == 0L)
+    val left = DeadLetter.read(spark, rej).get
+    assert(left.select("_rejected_at_epoch").distinct().collect()
+      .map(_.get(0).toString.toLong).toSeq == Seq(1L))
+
+    // the surviving rejects heal under a fresh replay epoch
+    val r3 = DeadLetter.replay(spark, t0, rej, epoch = ("dlq", 1L), spec = spec)(keyFix)
+    assert(r3.healed == 1L && r3.archivedPartitions == 1)
+    assert(t0.read(spark).filter(col("conv_id") === "c3").count() == 1L)
+
+    // a stale re-delivery of the OLD replay epoch, with fresh rejects in
+    // the store, archives nothing (its consumed record was superseded)
+    CdcApply.applyBatch(spark, t0,
+      eventsDF(spark, Seq(brokenIns(3L, "c4", 0, "later"))), spec,
+      epoch = Some(("ing", 2L)), rejectedDir = Some(rej))
+    val stale = DeadLetter.replay(spark, t0, rej, epoch = ("dlq", 0L), spec = spec)(keyFix)
+    assert(stale.batch.exists(_.skipped) && stale.archivedPartitions == 0)
+    assert(DeadLetter.read(spark, rej).get.count() == 1L)
+  }
+
   test("extraction rejects: fix must project `after` back to the source shape; replay re-extracts") {
     import graft.model.{ExtractField, PayloadSchema}
     val base = tmpDir("dlq-extract")
