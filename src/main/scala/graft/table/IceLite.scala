@@ -364,10 +364,10 @@ final class IceLiteTable(val dir: String) {
     * the change feed treats the commit as state-preserving (like
     * compaction) and epoch bookkeeping carries over untouched. A
     * concurrent commit between the state read and the CAS aborts the
-    * rebucket (re-run it; the staged files are swept by orphan GC);
-    * conversely, a CDC apply staged under the old layout is fenced by
-    * its own numBuckets re-check and aborts rather than landing rows in
-    * wrong buckets.
+    * rebucket, deleting its staged rewrite (re-run it); conversely, a
+    * CDC apply staged under the old layout is fenced by its own
+    * numBuckets re-check and aborts rather than landing rows in wrong
+    * buckets.
     */
   def rebucket(spark: SparkSession, newNumBuckets: Int): Snapshot = {
     import org.apache.spark.sql.functions.col
@@ -386,11 +386,11 @@ final class IceLiteTable(val dir: String) {
       .parquet(stage.toString)
     val staged = stagedFilesByBucket(stage)
     Option(IceLite.testOnRebucketStaged.getAndSet(null)).foreach(_.apply())
-    commit { parent =>
+    try commit { parent =>
       if (parent.version != cur.version)
         throw new IllegalStateException(
           s"rebucket of $dir raced: rewrote v${cur.version} but v${parent.version} " +
-            "committed meanwhile — re-run rebucket (staged files are orphan-GC swept)")
+            "committed meanwhile — re-run rebucket (staged files deleted)")
       parent.copy(
         numBuckets = newNumBuckets,
         files = staged,
@@ -398,6 +398,13 @@ final class IceLiteTable(val dir: String) {
         metrics = Map(
           "rebucketFrom" -> cur.numBuckets.toLong,
           "rebucketTo" -> newNumBuckets.toLong))
+    } catch {
+      case e: Throwable =>
+        // the staged rewrite (a full table copy) is referenced by no
+        // snapshot — delete it now; only removeOrphanFiles's grace-aged
+        // sweep would ever collect it otherwise
+        dropStageDir(stage)
+        throw e
     }
   }
 
@@ -445,7 +452,8 @@ final class IceLiteTable(val dir: String) {
     * written as a self-sufficient FULL snapshot json under `audits/` —
     * invisible to version listings, time travel, the change feed and
     * expiry. Re-staging a name replaces it (the previous stage's files
-    * become crash-class orphans unless [[discardAudit]] ran first).
+    * become crash-class orphans unless [[discardAudit]] ran first —
+    * [[removeOrphanFiles]] collects them).
     * Expiry note: the audit shares its parent's data files; since
     * `keepLast >= 1` always keeps the current version and a publish is
     * only valid while the parent IS current, expiry cannot break a
@@ -505,7 +513,8 @@ final class IceLiteTable(val dir: String) {
   /** Drop the audit and delete the data files that belong to IT alone
     * (everything its snapshot references that its parent does not). If
     * the parent has already been expired the files are left on disk —
-    * the crash-orphan class — rather than risking a wrong delete.
+    * the crash-orphan class, collected by [[removeOrphanFiles]] — rather
+    * than risking a wrong delete here.
     */
   def discardAudit(name: String): Boolean = {
     val p = auditPath(name)
@@ -581,7 +590,8 @@ final class IceLiteTable(val dir: String) {
     * that seed are deleted WITHOUT orphan-ref collection — their data
     * refs are unknowable without the expired ancestors, so files only
     * they referenced stay on disk (same class as pre-publish crash
-    * orphans) rather than risking a wrong delete.
+    * orphans; [[removeOrphanFiles]] collects both) rather than risking a
+    * wrong delete.
     *
     * `keepLast` is clamped to >= 1: keeping zero snapshots would delete
     * every v-file and leave an unloadable table (checkpoints survive but
@@ -666,7 +676,14 @@ final class IceLiteTable(val dir: String) {
     // the memoized fold may reference an expired ancestor chain only via
     // values (immutable) — safe to keep; readers of kept versions fold
     // from the new boundary checkpoint.
-    // sweep now-empty commit dirs
+    sweepEmptyCommitDirs()
+    (dropAll.size, dead.size)
+  }
+
+  /** Remove commit dirs holding no data (all files deleted or never
+    * committed); a dir with any non-empty bucket subdir survives.
+    */
+  private def sweepEmptyCommitDirs(): Unit =
     if (Files.isDirectory(dataDir))
       listDir(dataDir)(_.filter(Files.isDirectory(_)).toSeq).foreach { d =>
         val empty = !listDir(d)(_.exists(p =>
@@ -677,8 +694,88 @@ final class IceLiteTable(val dir: String) {
           finally w.close()
         }
       }
-    (dropAll.size, dead.size)
-  }
+
+  /** Delete a staging dir that will never be committed (raced or failed
+    * writers). Never called on a dir whose files a snapshot references.
+    */
+  private def dropStageDir(stage: Path): Unit =
+    if (Files.isDirectory(stage)) {
+      val w = Files.walk(stage)
+      try w.iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+
+  /** Delete data files referenced by NO reachable snapshot — Iceberg's
+    * `remove_orphan_files`. [[expireSnapshots]]'s dead-ref collection only
+    * sees files referenced by the snapshots it drops; files that never
+    * made it into ANY commit — a writer that crashed between staging and
+    * commit, a raced rebucket/compaction whose cleanup itself crashed, a
+    * staged audit abandoned without [[discardAudit]] — are invisible to
+    * it and accumulate forever. This is their collector.
+    *
+    * Live set = every file referenced by any READABLE version (walked
+    * via the same checkpoint-seeded fold readers use, so versions kept
+    * alive by an old checkpoint are protected), any checkpoint, and any
+    * staged audit. A file outside that set is deleted only when older
+    * than `graceMs` (modification time) — the grace window protects
+    * files a CONCURRENT writer staged but has not committed yet, so the
+    * default is deliberately generous; pass 0 only when no writer can be
+    * in flight. Holds the table's ref lock: a concurrent expiry rewrites
+    * the checkpoint seed mid-walk otherwise.
+    *
+    * Scale: one driver-side walk of the data dir (O(live files) — bounded
+    * by the compaction story) + one metadata-chain fold (O(retained
+    * versions), same class as expiry). No Spark job.
+    *
+    * Returns the number of data files deleted.
+    */
+  def removeOrphanFiles(graceMs: Long = 3600000L): Int =
+    IceLite.refLock(dir).synchronized {
+      if (!Files.isDirectory(dataDir)) return 0
+      def refs(s: Snapshot): Iterable[String] = s.files.values.flatten ++ s.deltas.values.flatten
+      val live = scala.collection.mutable.Set.empty[String]
+      // every readable version, ascending (snapshot0's forward cache makes
+      // the walk O(total diffs), not O(versions^2)); unreadable leftovers
+      // below a crashed-expiry gap are exactly the orphan class
+      listSnapshotVersions.foreach { v =>
+        scala.util.Try(snapshot(v)).toOption.foreach(live ++= refs(_))
+      }
+      // checkpoint-only versions (their v-file expired but the checkpoint
+      // still seeds reads) and staged audits are reachable too
+      listCheckpointVersions.foreach { c =>
+        scala.util.Try(readCheckpoint(cFile(c))).toOption.foreach(live ++= refs(_))
+      }
+      audits.keys.foreach { n =>
+        scala.util.Try(auditSnapshot(n)).toOption.foreach(live ++= refs(_))
+      }
+      val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+      var removed = 0
+      // a concurrent writer renaming its temp files mid-walk surfaces as
+      // a missing-file signal — skip that path (it is inside the grace
+      // window by construction), never abort the maintenance op on it
+      val files =
+        try {
+          val w = Files.walk(dataDir)
+          try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq finally w.close()
+        } catch { case e: Throwable if IceLite.missingFile(e) => Seq.empty[Path] }
+      files.foreach { p =>
+        val rel = Paths.get(dir).relativize(p).toString
+        val name = p.getFileName.toString
+        // a live file's checksum sibling (Hadoop local FS `.x.crc`) lives
+        // with its owner
+        val ownerLive = name.startsWith(".") && name.endsWith(".crc") &&
+          live(Paths.get(dir).relativize(
+            p.getParent.resolve(name.stripPrefix(".").stripSuffix(".crc"))).toString)
+        val aged = scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff)
+          .getOrElse(false) // vanished mid-walk -> a writer owns it, skip
+        if (!live(rel) && !ownerLive && aged) {
+          Files.deleteIfExists(p)
+          if (name.endsWith(".parquet")) removed += 1
+        }
+      }
+      sweepEmptyCommitDirs()
+      removed
+    }
 
   /** Compact buckets that have accumulated more than `maxFilesPerBucket`
     * data files (append-mode fragmentation) into one sorted file each.
@@ -721,20 +818,34 @@ final class IceLiteTable(val dir: String) {
         .parquet(s"$stage/bucket=$b")
     }
     val staged = stagedFilesByBucket(stage)
-    val snap = commit { parent =>
-      // replace a bucket only if no concurrent commit changed it since we
-      // read `cur` — otherwise dropping the newer files would lose data
-      val safe = staged.filter { case (b, _) => parent.files.get(b).contains(cur.files(b)) }
-      parent.copy(
-        files = parent.files ++ safe.map { case (b, merged) =>
-          b -> ((cur.files(b).diff(targets(b))) ++ merged)
-        },
-        metrics = Map("bucketsCompacted" -> safe.size.toLong))
-    }
+    val snap =
+      try commit { parent =>
+        // replace a bucket only if no concurrent commit changed it since we
+        // read `cur` — otherwise dropping the newer files would lose data
+        val safe = staged.filter { case (b, _) => parent.files.get(b).contains(cur.files(b)) }
+        parent.copy(
+          files = parent.files ++ safe.map { case (b, merged) =>
+            b -> ((cur.files(b).diff(targets(b))) ++ merged)
+          },
+          metrics = Map("bucketsCompacted" -> safe.size.toLong))
+      } catch { case e: Throwable => dropStageDir(stage); throw e }
     // the COMMITTED count — the race guard may have dropped buckets a
-    // concurrent commit touched (their staged merge files stay orphaned
-    // until crash-orphan GC, same as any pre-publish crash)
+    // concurrent commit touched; their staged merge files are referenced
+    // by no snapshot, so delete them now rather than leaving them to the
+    // grace-aged removeOrphanFiles sweep
+    dropUncommittedStaged(staged, snap)
     snap.metrics("bucketsCompacted").toInt
+  }
+
+  /** Delete staged files the commit's race guard dropped (present in
+    * `staged` but absent from the committed snapshot's file lists).
+    */
+  private def dropUncommittedStaged(staged: Map[Int, Seq[String]], snap: Snapshot): Unit = {
+    val kept = (snap.files.values.flatten ++ snap.deltas.values.flatten).toSet
+    staged.values.flatten.filterNot(kept).foreach { rel =>
+      Files.deleteIfExists(Paths.get(dir).resolve(rel))
+    }
+    sweepEmptyCommitDirs()
   }
 
   /** Fold outstanding MOR delta files back into base files for buckets
@@ -786,17 +897,22 @@ final class IceLiteTable(val dir: String) {
       .partitionBy("bucket")
       .parquet(stage.toString)
     val staged = stagedFilesByBucket(stage)
-    val snap = commit { parent =>
-      // replace a bucket only if no concurrent commit changed it since we
-      // read `cur` — otherwise we would drop newer base or delta files
-      val safe = targets.filter { b =>
-        parent.files.get(b) == cur.files.get(b) && parent.deltas.get(b) == cur.deltas.get(b)
-      }
-      parent.copy(
-        files = (parent.files -- safe) ++ staged.filter(kv => safe(kv._1)),
-        deltas = parent.deltas -- safe,
-        metrics = Map("bucketsCompacted" -> safe.size.toLong))
-    }
+    Option(IceLite.testOnCompactStaged.getAndSet(null)).foreach(_.apply())
+    val snap =
+      try commit { parent =>
+        // replace a bucket only if no concurrent commit changed it since we
+        // read `cur` — otherwise we would drop newer base or delta files
+        val safe = targets.filter { b =>
+          parent.files.get(b) == cur.files.get(b) && parent.deltas.get(b) == cur.deltas.get(b)
+        }
+        parent.copy(
+          files = (parent.files -- safe) ++ staged.filter(kv => safe(kv._1)),
+          deltas = parent.deltas -- safe,
+          metrics = Map("bucketsCompacted" -> safe.size.toLong))
+      } catch { case e: Throwable => dropStageDir(stage); throw e }
+    // raced-out buckets' staged merges are referenced by no snapshot —
+    // delete now instead of waiting for the grace-aged orphan sweep
+    dropUncommittedStaged(staged, snap)
     snap.metrics("bucketsCompacted").toInt
   }
 
@@ -931,6 +1047,13 @@ object IceLite {
     * the window the rebucket CAS guard exists for.
     */
   private[graft] val testOnRebucketStaged =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+
+  /** Test seam: runs once between compactDeltas' staging write and its
+    * commit attempt — lets a spec deterministically race a bucket out of
+    * the compaction's safe set.
+    */
+  private[graft] val testOnCompactStaged =
     new java.util.concurrent.atomic.AtomicReference[() => Unit]()
 
   private val mapper = new ObjectMapper()
