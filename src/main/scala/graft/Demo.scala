@@ -111,10 +111,20 @@ object Demo {
     println(s"[demo] streamed: state=${stateTable.read(spark).count()} rows, " +
       s"event-log=${eventLog.read(spark).count()} rows (append-only, with _partition/_offset lineage)")
 
-    // maintenance: compaction + snapshot expiry
+    // maintenance: compaction + snapshot expiry + crash-orphan sweep
     val compacted = eventLog.compact(spark, maxFilesPerBucket = 1)
     val (snaps, orphans) = stateTable.expireSnapshots(keepLast = 1)
-    println(s"[demo] maintenance: compacted $compacted buckets; expired $snaps snapshots, deleted $orphans orphan files")
+    // plant an aged never-committed file (a crashed pre-commit writer)
+    // and collect it — the class expiry's dead-ref pass cannot see
+    val crashDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/state/data/crashed-writer/bucket=0"))
+    val dead = crashDir.resolve("part-dead.parquet")
+    java.nio.file.Files.write(dead, "junk".getBytes)
+    java.nio.file.Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 172800000L))
+    val swept = stateTable.removeOrphanFiles()
+    println(s"[demo] maintenance: compacted $compacted buckets; expired $snaps snapshots, " +
+      s"deleted $orphans orphan files, swept $swept crash orphan(s)")
     println(s"[demo] event-log rows after compaction: ${eventLog.read(spark).count()}")
 
     // named refs + rollback + bucket-count evolution (B10/B11): pin the

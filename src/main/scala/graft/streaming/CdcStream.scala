@@ -162,6 +162,15 @@ object CdcStream {
       /** Snapshots kept per table by automatic maintenance (time-travel
         * window; expiry deletes orphaned data files of older versions). */
       keepSnapshots: Int = 8,
+      /** Grace window for crash-orphan collection
+        * ([[graft.table.IceLiteTable.removeOrphanFiles]]), run on the
+        * maintenance cadence after snapshot expiry: data files referenced
+        * by no reachable snapshot and older than this are deleted
+        * (crashed pre-commit writers, abandoned audit stages). Must
+        * exceed the longest plausible concurrent staging job — an
+        * in-flight writer's files are protected only by their age.
+        * Negative disables the sweep. */
+      orphanGraceMs: Long = 86400000L,
       /** Downstream change-feed consumers, refreshed on the maintenance
         * cadence (background thread, BEFORE snapshot expiry so their
         * cursors stay inside the retention window): mirror-table dirs
@@ -431,6 +440,14 @@ object CdcStream {
               (routedTables.values ++ logTable ++ downstreamTables.values)
                 .toSeq.distinct
                 .foreach(_.expireSnapshots(cfg.keepSnapshots))
+              // crash-orphan sweep AFTER expiry (expiry's dead-ref pass
+              // shrinks the live set first): collects files no reachable
+              // snapshot references, behind the age grace that protects
+              // in-flight writers
+              if (cfg.orphanGraceMs >= 0)
+                (table.toSeq ++ routedTables.values ++ logTable ++ downstreamTables.values)
+                  .distinct
+                  .foreach(_.removeOrphanFiles(cfg.orphanGraceMs))
             } catch {
               case NonFatal(e) =>
                 System.err.println(s"[graft] WARN maintenance for stream '${cfg.streamId}' " +

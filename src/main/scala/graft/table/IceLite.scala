@@ -719,9 +719,10 @@ final class IceLiteTable(val dir: String) {
     * staged audit. A file outside that set is deleted only when older
     * than `graceMs` (modification time) — the grace window protects
     * files a CONCURRENT writer staged but has not committed yet, so the
-    * default is deliberately generous; pass 0 only when no writer can be
-    * in flight. Holds the table's ref lock: a concurrent expiry rewrites
-    * the checkpoint seed mid-walk otherwise.
+    * default (24h, the usual Iceberg guidance) must exceed the longest
+    * plausible staging job (a full-table rebucket included); pass 0 only
+    * when no writer can be in flight. Holds the table's ref lock: a
+    * concurrent expiry rewrites the checkpoint seed mid-walk otherwise.
     *
     * Scale: one driver-side walk of the data dir (O(live files) — bounded
     * by the compaction story) + one metadata-chain fold (O(retained
@@ -729,7 +730,7 @@ final class IceLiteTable(val dir: String) {
     *
     * Returns the number of data files deleted.
     */
-  def removeOrphanFiles(graceMs: Long = 3600000L): Int =
+  def removeOrphanFiles(graceMs: Long = 86400000L): Int =
     IceLite.refLock(dir).synchronized {
       if (!Files.isDirectory(dataDir)) return 0
       def refs(s: Snapshot): Iterable[String] = s.files.values.flatten ++ s.deltas.values.flatten

@@ -114,12 +114,12 @@ class OrphanFilesSpec extends SparkSuite {
     val aged = agedDir.resolve("part-orphan.parquet")
     Files.write(aged, "junk".getBytes)
     Files.setLastModifiedTime(aged,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 172800000L))
     val fresh = agedDir.resolveSibling("bucket=1")
     Files.createDirectories(fresh)
     Files.write(fresh.resolve("part-fresh.parquet"), "junk".getBytes)
 
-    // default grace (1h): only the aged orphan goes
+    // default grace (24h): only the aged orphan goes
     assert(t.removeOrphanFiles() == 1)
     assert(!Files.exists(aged))
     assert(Files.exists(fresh.resolve("part-fresh.parquet")))

@@ -316,6 +316,23 @@ class StreamingSpec extends SparkSuite {
     assert(n <= 10, s"snapshot chain not bounded by auto-maintenance: $n metadata files")
     assert(stateTriples(t).nonEmpty)
     assert(t.current.properties.keys.exists(_.startsWith("epoch:")))
+
+    // crash-orphan sweep rides the same cadence: an aged never-committed
+    // file is collected (the grace window spares anything recent — an
+    // in-flight writer's staged files are protected only by age)
+    val orphanDir = java.nio.file.Files.createDirectories(
+      Paths.get(s"$root/table/data/crashed/bucket=0"))
+    val orphan = orphanDir.resolve("part-dead.parquet")
+    java.nio.file.Files.write(orphan, "junk".getBytes)
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 172800000L))
+    val before = stateTriples(t)
+    // fresh checkpoint, same streamId: every epoch is a high-water skip,
+    // but the maintenance cadence still fires
+    CdcStream.runAvailable(spark, sc.copy(checkpointDir = s"$root/ckpt2"))
+    assert(!java.nio.file.Files.exists(orphan),
+      "maintenance cadence collects aged crash orphans")
+    assert(stateTriples(IceLite.load(s"$root/table")) == before)
   }
 
   test("downstream mirror + incremental view + SCD2 history track the streamed table via the maintenance cadence") {
