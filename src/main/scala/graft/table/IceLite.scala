@@ -402,8 +402,10 @@ final class IceLiteTable(val dir: String) {
       case e: Throwable =>
         // the staged rewrite (a full table copy) is referenced by no
         // snapshot — delete it now; only removeOrphanFiles's grace-aged
-        // sweep would ever collect it otherwise
-        dropStageDir(stage)
+        // sweep would ever collect it otherwise. Guarded: a throw AFTER
+        // the durable CAS (e.g. an interrupt in post-commit bookkeeping)
+        // must not delete files the committed snapshot references.
+        if (!stageCommitted(staged.values.flatten.toSet)) dropStageDir(stage)
         throw e
     }
   }
@@ -697,13 +699,34 @@ final class IceLiteTable(val dir: String) {
 
   /** Delete a staging dir that will never be committed (raced or failed
     * writers). Never called on a dir whose files a snapshot references.
+    * Best-effort: it runs inside catch blocks, and a cleanup failure must
+    * never mask the original commit/race exception (leftovers fall to
+    * [[removeOrphanFiles]]).
     */
   private def dropStageDir(stage: Path): Unit =
-    if (Files.isDirectory(stage)) {
-      val w = Files.walk(stage)
-      try w.iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
+    try {
+      if (Files.isDirectory(stage)) {
+        val w = Files.walk(stage)
+        try w.iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) => System.err.println(
+        s"[graft] WARN failed to drop stage dir $stage (removeOrphanFiles collects it): $e")
     }
+
+  /** False only when the CURRENT snapshot verifiably references none of
+    * `rels` — the guard a failed-commit cleanup needs: an exception can
+    * escape commit() or its caller AFTER the CAS durably landed (e.g. an
+    * interrupt), and deleting staged files the committed snapshot
+    * references would lose data. Unknown (metadata unreadable) reads as
+    * "committed": keep the files, let [[removeOrphanFiles]] decide later.
+    */
+  private def stageCommitted(rels: Set[String]): Boolean =
+    scala.util.Try {
+      val s = current
+      (s.files.values.flatten ++ s.deltas.values.flatten).exists(rels)
+    }.getOrElse(true)
 
   /** Delete data files referenced by NO reachable snapshot — Iceberg's
     * `remove_orphan_files`. [[expireSnapshots]]'s dead-ref collection only
@@ -721,8 +744,13 @@ final class IceLiteTable(val dir: String) {
     * files a CONCURRENT writer staged but has not committed yet, so the
     * default (24h, the usual Iceberg guidance) must exceed the longest
     * plausible staging job (a full-table rebucket included); pass 0 only
-    * when no writer can be in flight. Holds the table's ref lock: a
-    * concurrent expiry rewrites the checkpoint seed mid-walk otherwise.
+    * when no writer can be in flight, negative to disable (returns 0 —
+    * the StreamConfig.orphanGraceMs contract). Metadata reads are STRICT:
+    * any read failure outside the known below-a-crashed-expiry-gap
+    * signals aborts the sweep loudly — a shrunken live set would turn
+    * repairable metadata corruption into data deletion. Holds the
+    * table's ref lock: a concurrent expiry rewrites the checkpoint seed
+    * mid-walk otherwise.
     *
     * Scale: one driver-side walk of the data dir (O(live files) — bounded
     * by the compaction story) + one metadata-chain fold (O(retained
@@ -732,24 +760,42 @@ final class IceLiteTable(val dir: String) {
     */
   def removeOrphanFiles(graceMs: Long = 86400000L): Int =
     IceLite.refLock(dir).synchronized {
+      if (graceMs < 0) return 0 // disabled — matches StreamConfig.orphanGraceMs semantics
       if (!Files.isDirectory(dataDir)) return 0
       def refs(s: Snapshot): Iterable[String] = s.files.values.flatten ++ s.deltas.values.flatten
       val live = scala.collection.mutable.Set.empty[String]
-      // every readable version, ascending (snapshot0's forward cache makes
-      // the walk O(total diffs), not O(versions^2)); unreadable leftovers
-      // below a crashed-expiry gap are exactly the orphan class
-      listSnapshotVersions.foreach { v =>
-        scala.util.Try(snapshot(v)).toOption.foreach(live ++= refs(_))
+      // METADATA READS ARE STRICT: a swallowed read failure here would
+      // shrink the live set and turn repairable metadata corruption (a
+      // bad checkpoint is re-derivable from an earlier one + diffs) into
+      // data deletion — the sweep must abort loudly instead and retry a
+      // later cadence. The ONLY tolerated failures are the two known
+      // unreadable-by-design signals on versions BELOW a crashed-expiry
+      // gap (no fold seed / expiry-raced missing file): those versions
+      // are unreadable for every reader, so their refs are exactly the
+      // orphan class this op collects.
+      val versions = listSnapshotVersions
+      val suffix = versions.foldLeft(List.empty[Long]) {
+        case (prev :: rest, v) if v == prev + 1 => v :: prev :: rest
+        case (_, v)                             => List(v)
+      }.reverse.toSet
+      versions.foreach { v =>
+        if (suffix(v)) live ++= refs(snapshot(v)) // the readable-by-contract chain
+        else try live ++= refs(snapshot(v)) catch {
+          case _: IllegalStateException                 => // below the gap: no fold seed
+          case e: Throwable if IceLite.missingFile(e)   => // expiry leftover raced away
+        }
       }
       // checkpoint-only versions (their v-file expired but the checkpoint
-      // still seeds reads) and staged audits are reachable too
-      listCheckpointVersions.foreach { c =>
-        scala.util.Try(readCheckpoint(cFile(c))).toOption.foreach(live ++= refs(_))
-      }
-      audits.keys.foreach { n =>
-        scala.util.Try(auditSnapshot(n)).toOption.foreach(live ++= refs(_))
-      }
-      val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+      // still seeds reads) and staged audits are reachable too — strict;
+      // note `audits` swallows read failures (a listing convenience), so
+      // list the audit files directly here
+      listCheckpointVersions.foreach(c => live ++= refs(readCheckpoint(cFile(c))))
+      if (Files.isDirectory(auditsDir))
+        listDir(auditsDir)(_.filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".json") && !n.startsWith(".")
+        }.toSeq).foreach(p => live ++= refs(readSnapshot(p)))
+      val cutoff = System.currentTimeMillis() - graceMs
       var removed = 0
       // a concurrent writer renaming its temp files mid-walk surfaces as
       // a missing-file signal — skip that path (it is inside the grace
@@ -829,24 +875,38 @@ final class IceLiteTable(val dir: String) {
             b -> ((cur.files(b).diff(targets(b))) ++ merged)
           },
           metrics = Map("bucketsCompacted" -> safe.size.toLong))
-      } catch { case e: Throwable => dropStageDir(stage); throw e }
+      } catch {
+        case e: Throwable =>
+          if (!stageCommitted(staged.values.flatten.toSet)) dropStageDir(stage)
+          throw e
+      }
     // the COMMITTED count — the race guard may have dropped buckets a
     // concurrent commit touched; their staged merge files are referenced
     // by no snapshot, so delete them now rather than leaving them to the
     // grace-aged removeOrphanFiles sweep
-    dropUncommittedStaged(staged, snap)
+    dropUncommittedStaged(stage, staged, snap)
     snap.metrics("bucketsCompacted").toInt
   }
 
   /** Delete staged files the commit's race guard dropped (present in
-    * `staged` but absent from the committed snapshot's file lists).
+    * `staged` but absent from the committed snapshot's file lists), then
+    * tidy ONLY this stage dir (the global empty-dir sweep stays with
+    * expiry/removeOrphanFiles — re-walking every historical commit dir
+    * per compaction would be wasted IO on the maintenance cadence).
     */
-  private def dropUncommittedStaged(staged: Map[Int, Seq[String]], snap: Snapshot): Unit = {
+  private def dropUncommittedStaged(
+      stage: Path, staged: Map[Int, Seq[String]], snap: Snapshot): Unit = {
     val kept = (snap.files.values.flatten ++ snap.deltas.values.flatten).toSet
     staged.values.flatten.filterNot(kept).foreach { rel =>
       Files.deleteIfExists(Paths.get(dir).resolve(rel))
     }
-    sweepEmptyCommitDirs()
+    if (Files.isDirectory(stage)) {
+      listDir(stage)(_.filter(Files.isDirectory(_)).toSeq)
+        .foreach(bdir => if (listDir(bdir)(_.isEmpty)) Files.deleteIfExists(bdir))
+      val anyData = listDir(stage)(_.exists(p =>
+        Files.isDirectory(p) && listDir(p)(_.nonEmpty)))
+      if (!anyData) dropStageDir(stage) // nothing committed into it
+    }
   }
 
   /** Fold outstanding MOR delta files back into base files for buckets
@@ -910,10 +970,14 @@ final class IceLiteTable(val dir: String) {
           files = (parent.files -- safe) ++ staged.filter(kv => safe(kv._1)),
           deltas = parent.deltas -- safe,
           metrics = Map("bucketsCompacted" -> safe.size.toLong))
-      } catch { case e: Throwable => dropStageDir(stage); throw e }
+      } catch {
+        case e: Throwable =>
+          if (!stageCommitted(staged.values.flatten.toSet)) dropStageDir(stage)
+          throw e
+      }
     // raced-out buckets' staged merges are referenced by no snapshot —
     // delete now instead of waiting for the grace-aged orphan sweep
-    dropUncommittedStaged(staged, snap)
+    dropUncommittedStaged(stage, staged, snap)
     snap.metrics("bucketsCompacted").toInt
   }
 
@@ -947,11 +1011,23 @@ final class IceLiteTable(val dir: String) {
         // link(2) is an atomic put-if-absent: fails iff target exists.
         // (rename(2)/ATOMIC_MOVE silently replaces on POSIX — not a CAS.)
         Files.createLink(target, tmp)
-        Files.deleteIfExists(tmp)
-        val c = stateCache
-        if (c == null || next.version > c.version) stateCache = next
-        if (next.version % CheckpointEvery == 0 && !Files.exists(cFile(next.version)))
-          writeAtomically(cFile(next.version), toJson(next))
+        // the commit is DURABLE from here — everything below is
+        // best-effort bookkeeping and must not throw: a caller seeing
+        // commit() fail may clean up its staged files, and a throw after
+        // the link would make it delete files the committed snapshot
+        // references (readers fold from the previous checkpoint either
+        // way, per the scaladoc)
+        try {
+          Files.deleteIfExists(tmp)
+          val c = stateCache
+          if (c == null || next.version > c.version) stateCache = next
+          if (next.version % CheckpointEvery == 0 && !Files.exists(cFile(next.version)))
+            writeAtomically(cFile(next.version), toJson(next))
+        } catch {
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[graft] WARN post-commit bookkeeping on $dir v${next.version} failed " +
+              s"(commit is durable; checkpoint deferred to a later commit): $e")
+        }
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

@@ -135,4 +135,38 @@ class OrphanFilesSpec extends SparkSuite {
     // steady state: nothing left to collect
     assert(t.removeOrphanFiles(graceMs = 0L) == 0)
   }
+
+  test("removeOrphanFiles: negative grace disables; corrupt metadata aborts loudly, deletes nothing") {
+    val dir = tmpDir("orphan-strict") + "/t"
+    val t = IceLite.create(dir, turnSchema, 4)
+    CdcApply.applyBatch(spark, t,
+      eventsDF(spark, Seq(ins(0L, "c1", 0, "a"))), epoch = Some(("q", 0L)))
+    CdcApply.applyBatch(spark, t,
+      eventsDF(spark, Seq(ins(1L, "c2", 0, "b"))), epoch = Some(("q", 1L)))
+    val orphanDir = Files.createDirectories(Paths.get(dir, "data", "dead", "bucket=0"))
+    val orphan = orphanDir.resolve("part-dead.parquet")
+    Files.write(orphan, "junk".getBytes)
+
+    // negative grace = disabled (the StreamConfig contract)
+    assert(t.removeOrphanFiles(graceMs = -1L) == 0)
+    assert(Files.exists(orphan))
+
+    // a corrupt v-file in the readable chain: the sweep must abort LOUDLY
+    // (a swallowed read would shrink the live set and delete live data),
+    // and must delete nothing — including the genuine orphan
+    val v2 = Paths.get(dir, "snap").resolve(f"v${2L}%010d.json")
+    val orig = Files.readAllBytes(v2)
+    Files.write(v2, "{ not json".getBytes)
+    // fresh table handle: the first one's fold memo already holds v2's state
+    val t2 = IceLite.load(dir)
+    intercept[Exception](t2.removeOrphanFiles(graceMs = 0L))
+    assert(Files.exists(orphan), "an aborted sweep must not have deleted anything")
+
+    // repair the metadata: the sweep collects the orphan and only it
+    Files.write(v2, orig)
+    val t3 = IceLite.load(dir)
+    assert(t3.removeOrphanFiles(graceMs = 0L) == 1)
+    assert(!Files.exists(orphan))
+    assert(t3.read(spark).count() == 2L)
+  }
 }
