@@ -133,7 +133,7 @@ object ScalingBench {
       sb.append("identical seeded input, fresh JVM per level, best wall per level\n")
       sb.append("across all JVM launches of the campaign — the sandbox VM shows\n")
       sb.append("±2x noisy-neighbor variance; every run's spin/memory probes and\n")
-      sb.append("per-batch cpu accounting are in round4-runs.log) at multiple\n")
+      sb.append("per-batch cpu accounting are in the round-N runs log) at multiple\n")
       sb.append("parallelism levels, per the driver's two-cluster-size protocol\n")
       sb.append("(no real cluster in the sandbox).\n\n")
       sb.append("| parallelism | wall time (s) | throughput (events/s) |\n|---|---|---|\n")
