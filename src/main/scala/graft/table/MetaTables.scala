@@ -73,10 +73,37 @@ object MetaTables {
     * row count. Row counts come from parquet footers read driver-side in
     * parallel — metadata pages only, never row groups — exactly like the
     * rows-written commit metric.
+    *
+    * Concurrent-expiry tolerance mirrors [[snapshots]]: maintenance can
+    * expire `version` BETWEEN the snapshot fold and the footer reads,
+    * collecting data files the folded state still references. That
+    * missing-file signal is re-resolved in a bounded retry loop — the
+    * default (current-version) call re-reads at the NEW current, an
+    * explicit version that is no longer retained fails with a clear
+    * expired-during-read error. Any missing file on a version that is
+    * STILL retained is corruption and stays loud (expiry never deletes a
+    * retained snapshot's files), matching the strict-metadata contract of
+    * [[IceLiteTable.removeOrphanFiles]].
     */
   def files(spark: SparkSession, table: IceLiteTable, version: Long = -1L): DataFrame = {
+    var attempt = 0
+    while (true) {
+      val v = if (version < 0) table.currentVersion else version
+      try return files0(spark, table, v)
+      catch {
+        case e: Throwable if IceLite.missingFile(e) && attempt < 4 =>
+          if (table.versions.contains(v)) throw e // retained ⇒ corruption: loud
+          if (version >= 0) throw new IllegalStateException(
+            s"version $version of ${table.dir} expired during files() read", e)
+          attempt += 1 // current raced away — re-resolve and re-read
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def files0(spark: SparkSession, table: IceLiteTable, version: Long): DataFrame = {
     import spark.implicits._
-    val s = table.snapshot(if (version < 0) table.currentVersion else version)
+    val s = table.snapshot(version)
     val all =
       s.files.toSeq.flatMap { case (b, fs) => fs.map(f => (b, f, "base")) } ++
         s.deltas.toSeq.flatMap { case (b, fs) => fs.map(f => (b, f, "delta")) }

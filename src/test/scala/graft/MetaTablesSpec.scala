@@ -100,6 +100,34 @@ class MetaTablesSpec extends SparkSuite {
     assert(MetaTables.refs(spark, t).count() == 0)
   }
 
+  test("files: a missing data file on a RETAINED version fails loudly; an expired version reads as expired") {
+    val (t, _) = freshTable("meta-files-race")
+    // retained version, vanished data file = corruption — the strict
+    // contract: never silently shrink the manifest of a live snapshot
+    val victim = java.nio.file.Paths.get(t.dir).resolve(t.deltaFiles().head)
+    val orig = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.delete(victim)
+    val e = try intercept[Exception] {
+      MetaTables.files(spark, new graft.table.IceLiteTable(t.dir)).collect()
+    } finally java.nio.file.Files.write(victim, orig)
+    assert(IceLite.missingFile(e))
+    assert(MetaTables.files(spark, new graft.table.IceLiteTable(t.dir)).count() ==
+      (t.dataFiles().size + t.deltaFiles().size).toLong)
+    // a version whose chain raced away mid-read (v-file gone from the
+    // listing) surfaces as the clear expired error, not a raw IO failure
+    val vGone = t.currentVersion
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t.dir, "snap", f"v$vGone%010d.json"))
+    val ex = intercept[IllegalStateException] {
+      MetaTables.files(spark, new graft.table.IceLiteTable(t.dir), vGone).collect()
+    }
+    assert(ex.getMessage.contains("expired during files() read"))
+    // the default (current-version) call re-resolves to the surviving tip
+    val tipRows = MetaTables.files(spark, new graft.table.IceLiteTable(t.dir))
+    assert(tipRows.select("version").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(vGone - 1))
+  }
+
   test("snapshots: expired-mid-listing versions drop out; a CORRUPT v-file fails loudly") {
     val (t, _) = freshTable("meta-corrupt")
     // the current version's v-file is a diff above the create-time
