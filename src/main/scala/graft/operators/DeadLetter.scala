@@ -124,6 +124,16 @@ object DeadLetter {
     if (consumed == 0L) return ReplayResult(None, 0L, 0L, 0)
 
     val requeue = requeueDir.getOrElse(s"$dir.requeue")
+    // requeue == source would let a replay epoch NUMBER colliding with a
+    // consumed ingest epoch re-quarantine rows into a partition the
+    // archive step is about to delete (partition dirs carry only the
+    // epoch number, not the stream id) — silent loss of the unhealed
+    // rows. The scaladoc documents the contract; enforce it loudly.
+    require(
+      Paths.get(requeue).toAbsolutePath.normalize !=
+        Paths.get(dir).toAbsolutePath.normalize,
+      s"requeueDir must differ from the dead-letter source dir ($dir): " +
+        "an epoch-number collision would archive freshly-requeued rows")
     val fixed = fix(src).drop("_error", "_rejected_at_epoch")
     // the consumed set rides the atomic commit: on a crash-and-rerun the
     // skip path below archives exactly what the committed replay read

@@ -50,6 +50,23 @@ class DeadLetterSpec extends SparkSuite {
     assert(again.batch.isEmpty && again.consumed == 0L)
   }
 
+  test("requeueDir == source dir is rejected loudly (epoch-number collision would archive requeued rows)") {
+    val base = tmpDir("dlq-samedir")
+    val t0 = IceLite.create(s"$base/t", turnSchema, 4)
+    val rej = s"$base/rejected"
+    val spec = MergeSpec(mergeStrategy = "mor")
+    CdcApply.applyBatch(spark, t0, eventsDF(spark, Seq(brokenIns(0L, "c2", 0, "x"))), spec,
+      epoch = Some(("ing", 0L)), rejectedDir = Some(rej))
+    val e = intercept[IllegalArgumentException] {
+      // `rej/.` normalizes to `rej` — the guard must see through path spelling
+      DeadLetter.replay(spark, t0, rej, epoch = ("dlq", 0L), spec = spec,
+        requeueDir = Some(s"$rej/."))(keyFix)
+    }
+    assert(e.getMessage.contains("requeueDir must differ"))
+    // nothing consumed or archived: the store is intact for a correct retry
+    assert(DeadLetter.read(spark, rej).get.count() == 1L)
+  }
+
   test("partial heal: unfixable rows land in the requeue store with the replay epoch") {
     val base = tmpDir("dlq-partial")
     val t0 = IceLite.create(s"$base/t", turnSchema, 4)
