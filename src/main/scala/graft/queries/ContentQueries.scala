@@ -157,13 +157,14 @@ object ContentQueries {
     *    is shared). Near-identical boilerplate clusters can no longer
     *    make the candidate stage quadratic.
     */
-  private def lshCandidates(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def lshCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
     // --- stage 1: exact-dup collapse. groupBy (not a window): partial
     // aggregation collapses a hot signature map-side, so a million-copy
     // group never concentrates its text in one task. sigd is consumed by
-    // three subplans (reps twice, exactLinks once) — the cached builder
-    // persists it TRANSIENTLY so the full text is scanned+digested twice
-    // total (sigd build + repDocs join side), not four times.
+    // three subplans (reps twice, exactLinks once) — all keyed on dsig,
+    // so the scan+digest exchange is computed once and reused (r06: the
+    // round-5 transient persist of sigd bought nothing over AQE's
+    // exchange reuse and churned cache memory; removed).
     val sigd = docs.select(col("doc_id"), md5(col("text")).as("dsig"))
     val reps = sigd.groupBy("dsig").agg(min("doc_id").as("rep_id"))
     val exactLinks = sigd.join(reps, "dsig")
@@ -186,7 +187,18 @@ object ContentQueries {
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(wordShingles(3))).as("sh"))
       .withColumn("h", md5(col("sh")))
-    val bands = (0 until 4).map(j => min(substring(col("h"), 1 + 8 * j, 8)).as(s"b$j"))
+    // Band value as a LONG — the numeric value of the 8-hex-char md5
+    // slice (r06). min over a STRING buffer cannot hash-aggregate
+    // (HashAggregate needs fixed-width mutable buffers), so the string
+    // form planned as SortAggregate + a full sort of the exploded
+    // shingle frame — the dominant stage of the build. Fixed-width
+    // lowercase hex orders identically to its numeric value, so
+    // min(conv(slice)) selects the SAME minimizer as the oracle's
+    // min(slice): the band signatures (and therefore the pairs) are
+    // bit-for-bit unchanged, only the aggregation becomes a map-side-
+    // combined HashAggregate with long buffers.
+    val bands = (0 until 4).map(j =>
+      min(conv(substring(col("h"), 1 + 8 * j, 8), 16, 10).cast("long")).as(s"b$j"))
     val sig = sh.groupBy("doc_id").agg(bands.head, bands.tail: _*)
     val melted = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(j => col(s"b$j")): _*)).as(Seq("band", "bv")))
@@ -203,34 +215,34 @@ object ContentQueries {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-    (lshPairs.unionByName(exactLinks).distinct(), counted, sigd)
+    (lshPairs.unionByName(exactLinks).distinct(), counted)
   }
 
   /** Memoized [[lshCandidates]] (the shared gate of q19/q21/q32): the
     * signature+banding stage dominates all three, and its result is only
     * candidate id-pairs (duplicate-density sized). The build is FORCED
     * here (not lazily by the first consumer) so the band-cap's dropped
-    * volume can be logged from the transiently-persisted banded frame —
-    * "no silent caps" — without re-running the signature stage; the
-    * banded frame is unpersisted before returning, so only the pair-sized
-    * result stays cached.
+    * volume can be logged — "no silent caps". r06: the round-5 transient
+    * persists of two O(corpus) frames (sigd, counted) are GONE — the
+    * dropped-volume leg shares the (band, bv) exchange with the
+    * candidate self-join (identical subtrees, reused by AQE within the
+    * one fused action), so the signature stage still runs exactly once
+    * and nothing corpus-sized is ever pinned in executor storage.
     */
   private def lshCandidatesCached(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "lshCandidates") {
       import org.apache.spark.storage.StorageLevel
-      val (result0, counted, sigd) = lshCandidates(t(s, dir, "documents"))
-      sigd.persist(StorageLevel.MEMORY_AND_DISK)
-      counted.persist(StorageLevel.MEMORY_AND_DISK)
+      val (result0, counted) = lshCandidates(t(s, dir, "documents"))
       val result = result0.persist(StorageLevel.MEMORY_AND_DISK)
-      // finally/catch, not fall-through: if the forced build fails, no
-      // memo entry exists to unpersist these later — a long-lived session
-      // retrying q19 would otherwise stack fresh O(corpus) persisted
-      // copies of sigd/counted (and the orphaned result) on every attempt.
+      // catch, not fall-through: if the forced build fails, no memo entry
+      // exists to unpersist the result later — a long-lived session
+      // retrying q19 would otherwise stack orphaned persisted copies.
       try {
-        // ONE action both materializes the persisted result (through the
-        // transient caches) and harvests the cap's dropped-volume stats —
-        // fusing them saves a whole extra job of fixed scheduling/codegen
-        // cost (measured ~0.5s at test SF).
+        // ONE action both materializes the persisted result and harvests
+        // the cap's dropped-volume stats — fusing them saves a whole
+        // extra job of fixed scheduling/codegen cost, and the stats leg
+        // rides the self-join's reused (band, bv) exchange instead of a
+        // transiently-persisted copy of the banded frame.
         val stats = result
           .agg(lit("pairs").as("tag"), count(lit(1)).as("x"), count(lit(1)).as("y"))
           .unionAll(counted.filter(col("gcnt") > LshBandGroupCap)
@@ -248,9 +260,6 @@ object ContentQueries {
         case e: Throwable =>
           result.unpersist(blocking = false)
           throw e
-      } finally {
-        counted.unpersist(blocking = false)
-        sigd.unpersist(blocking = false)
       }
     }
 
@@ -506,7 +515,13 @@ object ContentQueries {
     }),
 
     "q25_text_fingerprint" -> ((s, dir) => {
+      // repartition BEFORE the shingle+md5 work (single-file scan = one
+      // core otherwise); partitioning on doc_id makes the min/max
+      // aggregation exchange-free — the hex-string min/max buffers force
+      // SortAggregate, so spreading its sort across cores is the lever
+      // (the 32-hex output must stay a string, unlike q19's band slices)
       t(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 5)
         .select(col("doc_id"), explode(expr(wordShingles(5))).as("sh"))
@@ -583,7 +598,10 @@ object ContentQueries {
     // neighborhood. Anti-join against the (duplicate-density-sized) drop
     // set; no all-pairs anything.
     "q32_dedup_keeplist" -> ((s, dir) => {
-      val drop = jaccardPairs(s, dir).select(col("idb").as("doc_id")).distinct()
+      // no .distinct() on the anti-join build side (r06): LeftAnti
+      // semantics ignore duplicate build keys, so the distinct's
+      // exchange+aggregate was pure overhead
+      val drop = jaccardPairs(s, dir).select(col("idb").as("doc_id"))
       t(s, dir, "documents")
         .join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
@@ -634,17 +652,27 @@ object ContentQueries {
     // cost is one shingle pass over the corpus + a broadcast join —
     // never all-pairs, never a corpus-sized shuffle.
     "q41_contamination" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      // r06 shape: NO corpus-wide distinct. The round-5 form distinct'd
+      // the full (doc_id, shingle) frame — a token-sized exchange — on
+      // BOTH join legs before the broadcast join. Now the raw shingles
+      // join the (tiny, distinct'd) broadcast eval side first, so only
+      // the matching shingles ever shuffle, and the per-pair dedup moves
+      // into count_distinct AFTER the join (tf of a shared shingle in a
+      // train doc collapses to one — identical counts). The %97 filters
+      // push below the explode, so the eval leg scans 1/97 of the corpus.
+      // repartition before the shingle lambda: same one-file-scan
+      // parallelism rationale as q19.
+      val shRaw = t(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(wordShingles(3))).as("sh"))
-        .distinct()
-      val evalSh = sh.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("eval_id"), col("sh"))
-      sh.filter(col("doc_id") % 97 =!= 0)
+      val evalSh = shRaw.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("sh")).distinct()
+      shRaw.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(evalSh), "sh")
         .groupBy(col("doc_id").as("train_id"), col("eval_id"))
-        .agg(count(lit(1)).as("shared_shingles"))
+        .agg(count_distinct(col("sh")).as("shared_shingles"))
         .filter(col("shared_shingles") >= 2)
         .select(col("train_id"), col("eval_id"), col("shared_shingles"))
     }),
@@ -698,7 +726,8 @@ object ContentQueries {
       val docs = t(s, dir, "documents")
         .withColumn("n_words", size(split(col("text"), " ")))
         .filter(col("n_words") >= 30)
-      val drop = jaccardPairs(s, dir).select(col("idb").as("doc_id")).distinct()
+      // no .distinct() on the anti-join build side — same r06 note as q32
+      val drop = jaccardPairs(s, dir).select(col("idb").as("doc_id"))
       val emb = t(s, dir, "embeddings").select(col("vec_id").as("doc_id"))
       val shard = pmod(
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
@@ -716,7 +745,14 @@ object ContentQueries {
     // aggregation collapses each document's tokens before the shuffle,
     // so the exchange carries per-(doc, word) counts, not raw tokens.
     "q45_text_repetition" -> ((s, dir) => {
-      val w = t(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // ONE exchange for the whole query (r06): repartitioning on doc_id
+      // before the split (a) parallelizes the explode work past the
+      // O(file-count) scan, (b) is SHARED by both legs (identical
+      // subtrees — AQE reuses the exchange, so the text crosses the wire
+      // once), and (c) already satisfies every downstream grouping and
+      // the final doc_id join — no further exchange anywhere in the plan.
+      val w = t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
       val top = w.select(col("doc_id"), explode(col("ws")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id").agg(max("cnt").as("max_cnt"), sum("cnt").as("n_words"))
@@ -738,10 +774,21 @@ object ContentQueries {
     // joins on the well-distributed word key; top-3 per doc via one
     // window over per-doc groups (tiny partitions — never a global sort).
     "q46_keyword_tfidf" -> ((s, dir) => {
+      // r06 shape: the corpus is exploded ONCE (was twice — tf and df
+      // each ran their own explode over the unparallelized scan). The
+      // spread key is a SYNTHETIC hash, deliberately NOT doc_id:
+      // partitioning on the grouping key would elide tf's exchange and
+      // each of tf's two consumers would re-run the explode; the
+      // synthetic key keeps tf's own exchange as the shared
+      // materialization barrier (guide §2.5 deterministic-key form).
       val words = t(s, dir, "documents")
+        .repartition(pmod(xxhash64(col("doc_id")), lit(4096)))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfq = words.groupBy("w").agg(count_distinct(col("doc_id")).as("df"))
+      // document frequency DERIVED from tf: tf holds exactly one row per
+      // (doc, word), so count(*) per word IS count_distinct(doc_id) —
+      // same value, no second pass over the corpus
+      val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
       tf.join(dfq, "w")
         .withColumn("score", expr("(tf * 1000000) div df"))
