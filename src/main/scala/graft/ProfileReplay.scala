@@ -19,11 +19,19 @@ object ProfileReplay {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      // stage -> owning job's description (stage names are all lambda
+      // call sites; the description set by CdcApply is the useful label)
+      private val stageDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(j.properties).map(_.getProperty("spark.job.description")).orNull
+        if (d != null) j.stageIds.foreach(id => stageDesc.put(id, d))
+      }
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
         val cpuSum = si.taskMetrics.executorRunTime / 1e3
-        println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d wall=$wall%6.2fs taskSum=$cpuSum%7.1fs avgConc=${cpuSum / math.max(wall, 0.01)}%5.1f  ${si.name.take(60)}")
+        val label = Option(stageDesc.get(si.stageId)).getOrElse(si.name.take(50))
+        println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d wall=$wall%6.2fs taskSum=$cpuSum%7.1fs avgConc=${cpuSum / math.max(wall, 0.01)}%5.1f  $label")
       }
     })
 

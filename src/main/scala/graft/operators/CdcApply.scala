@@ -248,8 +248,15 @@ object CdcApply {
       val valid = tagged.filter(col("_error").isNull).drop("_error")
 
       // Normalize action rows to the (possibly evolved) table schema:
-      // missing columns → null, narrower types → up-cast.
+      // missing columns → null, narrower types → up-cast. No-op when the
+      // fold's row struct already matches the table schema exactly (the
+      // steady state of every non-evolving stream): the per-row struct
+      // rebuild is measurable CPU at replay scale and Catalyst does not
+      // eliminate an identity CreateNamedStruct-over-GetStructField.
       def normalize(actions: DataFrame): DataFrame = {
+        // exact match only (field names, types, nullability, metadata) —
+        // any mismatch falls through to the rebuilding projection
+        if (!spec.coordinates && actions.schema("row").dataType == evolved) return actions
         val rowFields = actions.schema("row").dataType.asInstanceOf[StructType].fieldNames.toSet
         val normRow = struct(evolved.fields.toSeq.map { f =>
           (f.name match {
@@ -273,7 +280,13 @@ object CdcApply {
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration.Duration
           implicit val ec: ExecutionContext = ExecutionContext.global
-          val planF = Future(planAgg(withBuckets = false))
+          // job descriptions are thread-local: label each concurrent job
+          // from its own thread so the UI/stage profile attributes them
+          val planF = Future {
+            spark.sparkContext.setJobDescription("cdc: planning aggregate")
+            try planAgg(withBuckets = false)
+            finally spark.sparkContext.setJobDescription(null)
+          }
           // The wipe-broadcast gate needs a count BEFORE the fold plan is
           // built (an unhinted wipe join materializes the payload side
           // into an extra shuffle even when AQE later converts it to
@@ -285,9 +298,20 @@ object CdcApply {
           val nWipes =
             if (!spec.deleteEnabled) 0L
             else Await.result(
-              Future(events0.filter(col("op") === "delete" && col("turn_idx").isNull &&
-                col("conv_id").isNotNull).count()),
+              Future {
+                spark.sparkContext.setJobDescription("cdc: wipe count")
+                try events0.filter(col("op") === "delete" && col("turn_idx").isNull &&
+                  col("conv_id").isNotNull).count()
+                finally spark.sparkContext.setJobDescription(null)
+              },
               Duration.Inf)
+          // The wipe aggregate has TWO consumers in the delta-write
+          // action: the fold's wipe join (broadcast build) and the
+          // wipe-marker union leg — without a persist each re-runs the
+          // scan+aggregate over the batch (measured as two low-
+          // concurrency stages per epoch). Persist the small
+          // (deleted-conversations-sized) frame for the epoch; released
+          // in the finally below.
           val wipes0 =
             if (nWipes == 0L)
               spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -295,18 +319,21 @@ object CdcApply {
                   org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
                   org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
             else MergeEngine.seriesWipes(valid)
-          // the broadcast hint goes ONLY to the join consumers (the fold);
-          // applyMor's wipe-marker projection is not a join, and a hinted
-          // non-join frame makes Spark log "broadcast ... not part of a
-          // join relation" every epoch
-          val wipes = if (nWipes <= WipeBroadcastMax) broadcast(wipes0) else wipes0
-          val aligned = if (spec.foldAlignment == "bucket") Some(snap0.numBuckets) else None
-          val actions =
-            if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
-            else MergeEngine.netActionsViaJoin(valid, wipes)
-          applyMor(spark, table, snap0, normalize(actions), wipes0, evolved, epoch, planF,
-            writeQuarantine, preAligned = aligned.isDefined, auditRef = auditRef,
-            extraProps = extraProps)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // the broadcast hint goes ONLY to the join consumers (the fold);
+            // applyMor's wipe-marker projection is not a join, and a hinted
+            // non-join frame makes Spark log "broadcast ... not part of a
+            // join relation" every epoch
+            val wipes = if (nWipes <= WipeBroadcastMax) broadcast(wipes0) else wipes0
+            val aligned = if (spec.foldAlignment == "bucket") Some(snap0.numBuckets) else None
+            val actions =
+              if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
+              else MergeEngine.netActionsViaJoin(valid, wipes)
+            applyMor(spark, table, snap0, normalize(actions), wipes0, evolved, epoch, planF,
+              writeQuarantine, preAligned = aligned.isDefined, auditRef = auditRef,
+              extraProps = extraProps)
+          } finally if (nWipes > 0L) wipes0.unpersist(blocking = false)
         case _ =>
           val lineage = planAgg(withBuckets = true)
           val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
@@ -426,12 +453,14 @@ object CdcApply {
     def stageDeltas(seq: Long): (java.nio.file.Path, Map[Int, Seq[String]], Long) = {
       val deltaRows = actionRows.unionByName(wipeRows).withColumn("seq", lit(seq))
       val stage = table.newStageDir()
-      (if (preAligned) deltaRows
+      spark.sparkContext.setJobDescription(s"cdc: fold + delta write (seq $seq)")
+      try (if (preAligned) deltaRows
        else deltaRows.hint("rebalance", "bucket")) // AQE splits hot buckets, coalesces cold
         .write.mode("overwrite")
         .option("compression", "snappy")
         .partitionBy("bucket")
         .parquet(stage.toString)
+      finally spark.sparkContext.setJobDescription(null)
       val staged = table.stagedFilesByBucket(stage)
       val rowsWritten = footerRowCount(spark, staged.values.flatten.map(r => s"${table.dir}/$r"))
       (stage, staged, rowsWritten)
