@@ -108,6 +108,27 @@ object DeadLetter {
       spec: MergeSpec = MergeSpec(),
       requeueDir: Option[String] = None,
       archive: Boolean = true)(fix: DataFrame => DataFrame): ReplayResult = {
+    // Reject a misconfigured requeueDir BEFORE the empty-store early
+    // returns: with the guard below them, requeue == source silently
+    // succeeded while the store was empty and only started failing once
+    // rejects appeared — configuration errors must surface on first use.
+    // Containment is rejected in BOTH directions (not just equality): a
+    // requeueDir nested inside the source store writes parquet that a
+    // later read(dir) partition-discovers as dead-letter rows (or that
+    // the archive step deletes on a name collision), the same
+    // silent-loss class as equality.
+    val requeue = requeueDir.getOrElse(s"$dir.requeue")
+    locally {
+      def real(p: String): java.nio.file.Path = {
+        val abs = Paths.get(p).toAbsolutePath.normalize
+        try abs.toRealPath() catch { case _: java.io.IOException => abs }
+      }
+      val (rq, sd) = (real(requeue), real(dir))
+      require(!rq.startsWith(sd) && !sd.startsWith(rq),
+        s"requeueDir must differ from (and not contain or nest inside) the " +
+          s"dead-letter source dir ($dir): an epoch-number collision would " +
+          "archive freshly-requeued rows (or re-consume them as rejects)")
+    }
     val src0 = read(spark, dir) match {
       case None     => return ReplayResult(None, 0L, 0L, 0)
       case Some(df) => df
@@ -123,17 +144,6 @@ object DeadLetter {
     val consumed = src.count()
     if (consumed == 0L) return ReplayResult(None, 0L, 0L, 0)
 
-    val requeue = requeueDir.getOrElse(s"$dir.requeue")
-    // requeue == source would let a replay epoch NUMBER colliding with a
-    // consumed ingest epoch re-quarantine rows into a partition the
-    // archive step is about to delete (partition dirs carry only the
-    // epoch number, not the stream id) — silent loss of the unhealed
-    // rows. The scaladoc documents the contract; enforce it loudly.
-    require(
-      Paths.get(requeue).toAbsolutePath.normalize !=
-        Paths.get(dir).toAbsolutePath.normalize,
-      s"requeueDir must differ from the dead-letter source dir ($dir): " +
-        "an epoch-number collision would archive freshly-requeued rows")
     val fixed = fix(src).drop("_error", "_rejected_at_epoch")
     // the consumed set rides the atomic commit: on a crash-and-rerun the
     // skip path below archives exactly what the committed replay read

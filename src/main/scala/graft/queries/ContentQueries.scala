@@ -100,6 +100,14 @@ object ContentQueries {
 
   private val dotExpr = "aggregate(zip_with(pv, v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
   private def normExpr(c: String) = s"sqrt(aggregate(transform($c, x -> x * x), 0d, (acc, x) -> acc + x))"
+  /** Pair cosine from per-vector precomputed norms (r06): the norm
+    * lambdas used to run per PAIR — twice the dot product's work again,
+    * in interpreted higher-order functions. Computing `nv` once per
+    * vector BEFORE the join evaluates the exact same expression over the
+    * same array, so the quotient is bit-identical; only the
+    * per-pair work drops to the single dot product.
+    */
+  private val cosExpr = s"$dotExpr / (pn * nv)"
 
   /** Sign-bit LSH bucket of a double vector (first `bits` dimensions).
     * Shared by q27 (near-dup blocking) and q28 (IVF-style ANN): cosine-
@@ -279,10 +287,19 @@ object ContentQueries {
     * docs scan itself is O(file-count) partitions).
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = memo(s, dir, "jaccardPairs") {
+    import org.apache.spark.storage.StorageLevel
     val docs = t(s, dir, "documents")
+    // r06: the gram lambda (the verify leg's dominant CPU) has TWO
+    // consumers — the ida and idb join sides — and only the repartition
+    // EXCHANGE below it is reused between them, so the per-char hashing
+    // ran twice over the corpus. Persist the gram frame TRANSIENTLY for
+    // the build (forced below, unpersisted in finally): the lambda runs
+    // once, both join sides read the blocks, and nothing stays pinned
+    // after the pair-sized result is materialized.
     val grams = docs.repartition(col("doc_id")).select(col("doc_id"),
       expr("array_distinct(transform(sequence(1, length(text) - 2), i -> xxhash64(substring(text, i, 3))))").as("g"))
-    lshCandidatesCached(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = lshCandidatesCached(s, dir)
       .join(grams.select(col("doc_id").as("ida"), col("g").as("ga"), size(col("g")).as("na")), "ida")
       .join(grams.select(col("doc_id").as("idb"), col("g").as("gb"), size(col("g")).as("nb")), "idb")
       // size prefilter implied by the Jaccard threshold (J <= min/max):
@@ -293,6 +310,13 @@ object ContentQueries {
         size(array_intersect(col("ga"), col("gb"))).as("inter"),
         col("na"), col("nb"))
       .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      result.count() // force through the transient gram cache
+      result
+    } catch {
+      case e: Throwable => result.unpersist(blocking = false); throw e
+    } finally grams.unpersist(blocking = false)
   }
 
   /** Connected components over the duplicate-pair graph (q33): each
@@ -419,9 +443,11 @@ object ContentQueries {
   }
 
   private def cosineJoin(probes: DataFrame, cands: DataFrame): DataFrame =
-    probes.crossJoin(cands)
+    probes.withColumn("pn", expr(normExpr("pv")))
+      .crossJoin(cands.withColumn("nv", expr(normExpr("v"))))
       .filter(col("vec_id") =!= col("pid"))
-      .withColumn("cos", expr(s"$dotExpr / (${normExpr("pv")} * ${normExpr("v")})"))
+      .withColumn("cos", expr(cosExpr))
+      .drop("pn", "nv")
 
   /** IVF-style ANN with multi-probe (q27's Hamming<=1 machinery),
     * parameterized by LSH width: `bits` sign bits give 2^bits cells, each
@@ -441,10 +467,11 @@ object ContentQueries {
     val probeBkts = array((col("bkt") +: (0 until bits).map(i =>
       col("bkt").bitwiseXOR(lit(1 << i)))): _*)
     val probes = v.filter(probeFilter)
-      .select(col("vec_id").as("pid"), col("v").as("pv"), explode(probeBkts).as("bkt"))
-    val scored = probes.join(v, Seq("bkt"))
+      .select(col("vec_id").as("pid"), col("v").as("pv"),
+        expr(normExpr("v")).as("pn"), explode(probeBkts).as("bkt"))
+    val scored = probes.join(v.withColumn("nv", expr(normExpr("v"))), Seq("bkt"))
       .filter(col("vec_id") =!= col("pid"))
-      .withColumn("cos", expr(s"$dotExpr / (${normExpr("pv")} * ${normExpr("v")})"))
+      .withColumn("cos", expr(cosExpr))
     val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -550,11 +577,12 @@ object ContentQueries {
       val v = vecs(s, dir).withColumn("bkt", signBucket(6))
       val probeBkts = array((col("bkt") +: (0 until 6).map(i =>
         col("bkt").bitwiseXOR(lit(1 << i)))): _*)
+      // per-vector norms precomputed before the join (r06, see cosExpr)
       val a = v.select(col("label"), col("vec_id").as("pid"), col("v").as("pv"),
-        explode(probeBkts).as("bkt"))
-      a.join(v, Seq("label", "bkt"))
+        expr(normExpr("v")).as("pn"), explode(probeBkts).as("bkt"))
+      a.join(v.withColumn("nv", expr(normExpr("v"))), Seq("label", "bkt"))
         .filter(col("pid") < col("vec_id"))
-        .withColumn("cos", expr(s"$dotExpr / (${normExpr("pv")} * ${normExpr("v")})"))
+        .withColumn("cos", expr(cosExpr))
         .filter(col("cos") >= 0.35)
         .select(col("pid").as("ida"), col("vec_id").as("idb"), col("label"))
     }),

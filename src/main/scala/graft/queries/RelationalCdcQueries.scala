@@ -138,22 +138,31 @@ object RelationalCdcQueries {
     }),
 
     // -- the engine's anchor/update net-state fold on real data (A5-A10) --
+    // r06: the anchor TYPE is carried through the aggregation as an int
+    // code, not the string — a single string max_by buffer forces the
+    // whole aggregate to SortAggregate (string buffers cannot
+    // hash-aggregate); with every buffer primitive it plans as one
+    // map-side-combined HashAggregate. Decoded after the fold —
+    // identical output values.
     "q12_cdc_upsert_fold" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val isAnchor = col("event_type").isin("signup", "purchase", "error")
       val aOff = when(isAnchor, col("event_id"))
       val uOff = when(!isAnchor, col("event_id"))
+      val typeCode = when(col("event_type") === "signup", 0)
+        .when(col("event_type") === "purchase", 1)
+        .when(col("event_type") === "error", 2)
       e.groupBy(col("user_id"))
         .agg(
           max(aOff).as("a_id"),
-          max_by(col("event_type"), aOff).as("a_type"),
+          max_by(typeCode, aOff).as("a_code"),
           max_by(col("value"), aOff).as("a_value"),
           max(uOff).as("u_id"),
           max_by(col("value"), uOff).as("u_value"))
-        .filter(col("a_id").isNotNull && col("a_type") =!= "error")
+        .filter(col("a_id").isNotNull && col("a_code") =!= 2)
         .select(
           col("user_id"),
-          col("a_type").as("status"),
+          when(col("a_code") === 0, "signup").otherwise("purchase").as("status"),
           when(col("u_id") > col("a_id"), col("u_value")).otherwise(col("a_value")).as("value"),
           greatest(col("a_id"), coalesce(col("u_id"), lit(-1L))).as("src_event_id"))
     }),
@@ -161,9 +170,15 @@ object RelationalCdcQueries {
     // -- tombstone anti-join: drop all rows of deleted keys (A10) ---------
     "q13_cdc_tombstone" -> ((s, dir) => {
       val e = t(s, dir, "events")
+      // "last anchor is an error" ⟺ the max error event id IS the max
+      // anchor event id (event_id unique). Two long max buffers
+      // hash-aggregate; the previous max_by(event_type, ...) carried a
+      // string buffer and forced SortAggregate (r06).
       val dead = e.filter(col("event_type").isin("signup", "purchase", "error"))
-        .groupBy(col("user_id")).agg(max_by(col("event_type"), col("event_id")).as("a_type"))
-        .filter(col("a_type") === "error").select(col("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "error", col("event_id"))).as("err_id"),
+          max(col("event_id")).as("max_id"))
+        .filter(col("err_id") === col("max_id")).select(col("user_id"))
       // no broadcast hint: the dead-key set is O(deleted users) — unbounded
       // at scale. AQE broadcasts it at runtime when it is actually small.
       e.join(dead, Seq("user_id"), "left_anti")
