@@ -200,32 +200,40 @@ object CdcApply {
         org.apache.spark.sql.types.StructField("_partition", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("_offset", org.apache.spark.sql.types.LongType)))
 
-    // Scan-count note: the epoch runs (a) one PLANNING aggregate whose
-    // parquet scan is column-pruned to the narrow envelope columns (never
-    // the text payload — asserted in PlanSpec), (b) the fold+write job
-    // (the one full-width scan), and (c) a quarantine write only when the
-    // planning aggregate saw rejects. Caching the tagged batch instead was
-    // measured SLOWER at bench scale (24M events): building the columnar
-    // cache of the full payload costs more than the narrow re-scan it saves.
+    // Scan-count note (r06): a MOR epoch runs (a) one NARROW planning
+    // aggregate (partition/offset only — asserted in PlanSpec), (b) the
+    // fold+write job (the one full-width scan, which also carries the
+    // observed rejected-count metric), (c) a narrow wipe count + (when
+    // wipes exist) a narrow wipe aggregate, and (d) a quarantine write
+    // only when rejects were observed. Caching the tagged batch instead
+    // was measured SLOWER at bench scale (24M events): building the
+    // columnar cache of the full payload costs more than the narrow
+    // re-scans it saves.
     val tagged = MergeEngine.tagErrors(events0, spec.deleteEnabled)
     locally {
-      // --- ONE planning aggregate over the batch: per-log-partition
-      // lineage (offsets advance past errant records — quarantined, not
-      // retried, `.../sink/JdbcSinkTaskTest.java:324-492`), volume +
-      // rejection + series-tombstone counts, and (COW only) the
-      // touched-bucket set (every action's conv_id comes from some batch
-      // event, so the batch's distinct buckets are exactly the affected
-      // set — no fold needed for planning). Its parquet scan is pruned to
-      // the narrow envelope columns (never the text payload).
+      // --- planning: per-log-partition lineage (offsets advance past
+      // errant records — quarantined, not retried,
+      // `.../sink/JdbcSinkTaskTest.java:324-492`), volume + rejection +
+      // series-tombstone counts, and (COW only) the touched-bucket set
+      // (every action's conv_id comes from some batch event, so the
+      // batch's distinct buckets are exactly the affected set — no fold
+      // needed for planning).
       val isWipe = col("op") === "delete" && col("turn_idx").isNull && col("_error").isNull
-      def planAgg(withBuckets: Boolean): Array[org.apache.spark.sql.Row] = {
+      // COW planning aggregate (full form, _error-aware). NOTE (r06): any
+      // aggregate referencing _error reads the ENTIRE after struct — the
+      // validation rule `op =!= 'delete' && after.isNull` defeats nested-
+      // schema pruning (IsNull over a struct prunes nothing), so this
+      // scan decodes the payload. The MOR hot path therefore uses the
+      // NARROW planning aggregate below plus an observed metric on the
+      // fold's own full-width scan instead.
+      def planAgg(): Array[org.apache.spark.sql.Row] = {
         val aggs = Seq(
           max("offset").as("max_off"),
           count(lit(1)).as("n"),
           sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"),
-          sum(when(isWipe, 1L).otherwise(0L)).as("n_wipes")) ++
-          (if (withBuckets) Seq(collect_set(when(col("_error").isNull,
-            MergeEngine.bucketOf(col("conv_id"), snap0.numBuckets))).as("buckets")) else Nil)
+          sum(when(isWipe, 1L).otherwise(0L)).as("n_wipes"),
+          collect_set(when(col("_error").isNull,
+            MergeEngine.bucketOf(col("conv_id"), snap0.numBuckets))).as("buckets"))
         tagged.groupBy("partition").agg(aggs.head, aggs.tail: _*).collect()
       }
       def writeQuarantine(rejectedCount: Long): Unit =
@@ -280,13 +288,41 @@ object CdcApply {
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration.Duration
           implicit val ec: ExecutionContext = ExecutionContext.global
-          // job descriptions are thread-local: label each concurrent job
-          // from its own thread so the UI/stage profile attributes them
+          // NARROW planning aggregate (r06): per-partition lineage needs
+          // only (partition, max_off, n) — none of which touch _error, so
+          // the scan prunes to two envelope columns (the round-5 form
+          // aggregated `bad` here, whose _error reference dragged the
+          // FULL payload struct into this scan — measured ~39s of task
+          // time per 12M-event epoch decoding text the planning job never
+          // used). The rejected count now rides the fold job's own
+          // full-width scan as an observed metric (below).
+          // Job descriptions are thread-local: label each concurrent job
+          // from its own thread so the UI/stage profile attributes them.
           val planF = Future {
             spark.sparkContext.setJobDescription("cdc: planning aggregate")
-            try planAgg(withBuckets = false)
+            try events0.groupBy("partition")
+              .agg(max("offset").as("max_off"), count(lit(1)).as("n")).collect()
             finally spark.sparkContext.setJobDescription(null)
           }
+          // Rejected-record count: a TOTAL, not per-partition — observed
+          // on the fold's scan (no extra job, no extra payload decode)
+          // when the fold reads the batch exactly once (foldStrategy
+          // "agg"); the "join" fold scans the batch twice, which would
+          // double-count an observed metric, so it keeps a dedicated
+          // count job. Caveat (documented): observed metrics follow
+          // accumulator semantics — a re-run shuffle stage after executor
+          // loss could overcount; the >0 quarantine gate is unaffected
+          // (zero stays zero) and the quarantine WRITE derives its rows
+          // from `tagged`, not from this count.
+          val (foldInput, rejectedCountF): (DataFrame, () => Long) =
+            if (spec.foldStrategy == "agg") {
+              val obs = org.apache.spark.sql.Observation()
+              val v = tagged
+                .observe(obs, sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"))
+                .filter(col("_error").isNull).drop("_error")
+              (v, () => obs.get("bad").asInstanceOf[Long])
+            } else
+              (valid, () => tagged.filter(col("_error").isNotNull).count())
           // The wipe-broadcast gate needs a count BEFORE the fold plan is
           // built (an unhinted wipe join materializes the payload side
           // into an extra shuffle even when AQE later converts it to
@@ -318,7 +354,14 @@ object CdcApply {
                 StructType(Seq(
                   org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
                   org.apache.spark.sql.types.StructField("wipe_off", org.apache.spark.sql.types.LongType))))
-            else MergeEngine.seriesWipes(valid)
+            else
+              // narrow equivalent of seriesWipes(valid): an op=delete row
+              // is valid iff conv_id is non-null (the after-null and
+              // turn-null rules never apply to deletes, and deletes are
+              // admitted on this path — nWipes > 0 implies deleteEnabled),
+              // so filtering events0 directly keeps the wipe scan off the
+              // payload struct (seriesWipes(valid) read it via _error)
+              MergeEngine.seriesWipes(events0.filter(col("conv_id").isNotNull))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             // the broadcast hint goes ONLY to the join consumers (the fold);
@@ -328,14 +371,14 @@ object CdcApply {
             val wipes = if (nWipes <= WipeBroadcastMax) broadcast(wipes0) else wipes0
             val aligned = if (spec.foldAlignment == "bucket") Some(snap0.numBuckets) else None
             val actions =
-              if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes, aligned)
-              else MergeEngine.netActionsViaJoin(valid, wipes)
+              if (spec.foldStrategy == "agg") MergeEngine.netActions(foldInput, wipes, aligned)
+              else MergeEngine.netActionsViaJoin(foldInput, wipes)
             applyMor(spark, table, snap0, normalize(actions), wipes0, evolved, epoch, planF,
-              writeQuarantine, preAligned = aligned.isDefined, auditRef = auditRef,
-              extraProps = extraProps)
+              rejectedCountF, writeQuarantine, preAligned = aligned.isDefined,
+              auditRef = auditRef, extraProps = extraProps)
           } finally if (nWipes > 0L) wipes0.unpersist(blocking = false)
         case _ =>
-          val lineage = planAgg(withBuckets = true)
+          val lineage = planAgg()
           val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
           val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
           val nWipeEvents = lineage.map(_.getAs[Long]("n_wipes")).sum
@@ -415,6 +458,7 @@ object CdcApply {
       evolved: StructType,
       epoch: Option[(String, Long)],
       lineageF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
+      rejectedCountF: () => Long,
       quarantine: Long => Unit,
       preAligned: Boolean,
       auditRef: Option[String] = None,
@@ -477,7 +521,9 @@ object CdcApply {
     // commit is the first consumer of the lineage
     val lineage = scala.concurrent.Await.result(lineageF, scala.concurrent.duration.Duration.Inf)
     val eventsSeen = lineage.map(_.getAs[Long]("n")).sum
-    val rejectedCount = lineage.map(_.getAs[Long]("bad")).sum
+    // observed on the fold scan of the staging above (agg fold) or a
+    // dedicated count (join fold) — ready by the time staging completed
+    val rejectedCount = rejectedCountF()
 
     // Epoch-tagged batches quarantine BEFORE the commit: a crash between
     // commit and a post-commit quarantine write would lose the rejects

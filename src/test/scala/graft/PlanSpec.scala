@@ -106,10 +106,21 @@ class PlanSpec extends SparkSuite {
     val d = tmpDir("planspec-scan")
     eventsDF(spark, Seq(ins(0, "c1", 0, "a"))).write.parquet(s"$d/ev")
     val fromDisk = spark.read.parquet(s"$d/ev")
+    // the exact MOR-path narrow planning aggregate (r06): no _error
+    // reference anywhere — an aggregate touching _error reads the WHOLE
+    // after struct (IsNull over a struct defeats nested-schema pruning),
+    // which is why the rejected count moved to an observed metric on the
+    // fold's own scan
     val plan = planOf(
-      graft.operators.MergeEngine.tagErrors(fromDisk)
-        .groupBy("partition").agg(max("offset"), count(lit(1))))
+      fromDisk.groupBy("partition").agg(max("offset").as("max_off"), count(lit(1)).as("n")))
     val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
-    assert(!readSchema.contains("text"), s"planning scan must not read payload text: $readSchema")
+    assert(!readSchema.contains("after"),
+      s"narrow planning scan must not read the after struct at all: $readSchema")
+    // and the narrow wipe aggregate stays off the payload too
+    val wipePlan = planOf(graft.operators.MergeEngine.seriesWipes(
+      fromDisk.filter(col("conv_id").isNotNull)))
+    val wipeRead = wipePlan.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!wipeRead.contains("after"),
+      s"wipe aggregate scan must not read the after struct: $wipeRead")
   }
 }
