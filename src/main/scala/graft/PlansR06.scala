@@ -25,7 +25,19 @@ object PlansR06 {
     val outDir = Paths.get(sys.env.getOrElse("PLANS_R06_DIR", "plans/r06"))
     Files.createDirectories(outDir)
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // "cdc_fold" is the replay's per-key fold, not a declared query:
+      // before = netActions (the r05 default aggregate fold), after =
+      // netActionsViaWindow (the r06 default single-sort window fold),
+      // dumped over a generated change-log batch with the bench schema.
+      val df =
+        if (name == "cdc_fold") {
+          val events = graft.gen.ChangeLogGen.events(spark,
+            graft.gen.ChangeLogGen.GenConfig(numEvents = 100000L))
+          val wipes = org.apache.spark.sql.functions.broadcast(
+            graft.operators.MergeEngine.seriesWipes(events))
+          if (tag == "before") graft.operators.MergeEngine.netActions(events, wipes)
+          else graft.operators.MergeEngine.netActionsViaWindow(events, wipes)
+        } else SparkEntry.queries(name)(spark, sfDir)
       val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       Files.write(outDir.resolve(s"${name}_$tag.txt"), txt.getBytes("UTF-8"))
       System.err.println(s"[plans] wrote ${name}_$tag.txt (${txt.length} chars)")

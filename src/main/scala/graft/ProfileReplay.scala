@@ -38,6 +38,7 @@ object ProfileReplay {
     val warm = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-warm").toString
     Bench.replay(spark, 500000L, 1, 128, warm)
     Bench.deleteRecursively(warm)
+    // each entry is "<foldStrategy>" or "<foldStrategy>:<foldAlignment>"
     val foldVariants = sys.env.getOrElse("PROF_FOLDS", "join,agg").split(",").map(_.trim)
     val strategies = sys.env.getOrElse("PROF_STRATEGIES", "mor").split(",").map(_.trim)
     val nBatches = sys.env.getOrElse("PROF_BATCHES", "2").toInt
@@ -46,8 +47,13 @@ object ProfileReplay {
         strategies.foreach { strat =>
           println(s"[prof] ===== run $rep fold=$f strategy=$strat =====")
           val logDir = java.nio.file.Files.createTempDirectory(Bench.tmpBase, "prof-log").toString
+          val (fs, fa) = f.split(":") match {
+            case Array(s, a) => (s, a)
+            case _           => (f, "key")
+          }
           val sec = Bench.replay(spark, nEvents, numBatches = nBatches, buckets = 128, logDir = logDir,
-            spec = graft.model.MergeSpec(numBuckets = 128, foldStrategy = f, mergeStrategy = strat)).sum
+            spec = graft.model.MergeSpec(numBuckets = 128, foldStrategy = fs, foldAlignment = fa,
+              mergeStrategy = strat)).sum
           println(f"[prof] run $rep fold=$f strategy=$strat: $nEvents events in $sec%.1fs = ${nEvents / sec}%.0f ev/s")
           Bench.deleteRecursively(logDir)
         }

@@ -155,8 +155,8 @@ object CdcApply {
     require(auditRef.isEmpty || spec.mergeStrategy == "mor",
       "write-audit-publish stages MOR delta snapshots; mergeStrategy='cow' " +
         "rewrites shared bucket files in place and cannot stage an isolated audit")
-    require(Set("agg", "join")(spec.foldStrategy),
-      s"foldStrategy must be 'agg' or 'join', got '${spec.foldStrategy}'")
+    require(Set("agg", "join", "window")(spec.foldStrategy),
+      s"foldStrategy must be 'agg', 'join' or 'window', got '${spec.foldStrategy}'")
     require(Set("key", "bucket")(spec.foldAlignment),
       s"foldAlignment must be 'key' or 'bucket', got '${spec.foldAlignment}'")
 
@@ -307,7 +307,7 @@ object CdcApply {
           // Rejected-record count: a TOTAL, not per-partition — observed
           // on the fold's scan (no extra job, no extra payload decode)
           // when the fold reads the batch exactly once (foldStrategy
-          // "agg"); the "join" fold scans the batch twice, which would
+          // "window"/"agg"); the "join" fold scans the batch twice, which would
           // double-count an observed metric, so it keeps a dedicated
           // count job. Caveat (documented): observed metrics follow
           // accumulator semantics — a re-run shuffle stage after executor
@@ -315,12 +315,23 @@ object CdcApply {
           // (zero stays zero) and the quarantine WRITE derives its rows
           // from `tagged`, not from this count.
           val (foldInput, rejectedCountF): (DataFrame, () => Long) =
-            if (spec.foldStrategy == "agg") {
+            if (spec.foldStrategy != "join") { // agg and window both scan the batch exactly once
               val obs = org.apache.spark.sql.Observation()
               val v = tagged
                 .observe(obs, sum(when(col("_error").isNotNull, 1L).otherwise(0L)).as("bad"))
                 .filter(col("_error").isNull).drop("_error")
-              (v, () => obs.get("bad").asInstanceOf[Long])
+              // The metric can be LOST (not just zero): when the fold leg
+              // materializes empty (all-wipe / all-reject / empty batch),
+              // AQE's empty-relation propagation replaces the subtree and
+              // the CollectMetrics node leaves the final plan — Spark 4's
+              // ObservationManager then completes the observation with an
+              // EMPTY row. Fall back to a dedicated count for exactly
+              // those degenerate batches; steady-state epochs never pay it.
+              (v, () => obs.get.get("bad") match {
+                case Some(null) => 0L // observed node saw zero rows (empty batch)
+                case Some(n)    => n.asInstanceOf[Long]
+                case None       => tagged.filter(col("_error").isNotNull).count()
+              })
             } else
               (valid, () => tagged.filter(col("_error").isNotNull).count())
           // The wipe-broadcast gate needs a count BEFORE the fold plan is
@@ -370,9 +381,11 @@ object CdcApply {
             // join relation" every epoch
             val wipes = if (nWipes <= WipeBroadcastMax) broadcast(wipes0) else wipes0
             val aligned = if (spec.foldAlignment == "bucket") Some(snap0.numBuckets) else None
-            val actions =
-              if (spec.foldStrategy == "agg") MergeEngine.netActions(foldInput, wipes, aligned)
-              else MergeEngine.netActionsViaJoin(foldInput, wipes)
+            val actions = spec.foldStrategy match {
+              case "agg"    => MergeEngine.netActions(foldInput, wipes, aligned)
+              case "window" => MergeEngine.netActionsViaWindow(foldInput, wipes, aligned)
+              case _        => MergeEngine.netActionsViaJoin(foldInput, wipes)
+            }
             applyMor(spark, table, snap0, normalize(actions), wipes0, evolved, epoch, planF,
               rejectedCountF, writeQuarantine, preAligned = aligned.isDefined,
               auditRef = auditRef, extraProps = extraProps)
@@ -405,9 +418,11 @@ object CdcApply {
             else MergeEngine.seriesWipes(valid)
           val wipes = if (nWipeEvents <= WipeBroadcastMax) broadcast(wipes0) else wipes0
 
-          val actions =
-            if (spec.foldStrategy == "agg") MergeEngine.netActions(valid, wipes)
-            else MergeEngine.netActionsViaJoin(valid, wipes)
+          val actions = spec.foldStrategy match {
+            case "agg"    => MergeEngine.netActions(valid, wipes)
+            case "window" => MergeEngine.netActionsViaWindow(valid, wipes)
+            case _        => MergeEngine.netActionsViaJoin(valid, wipes)
+          }
 
           if (touched.isEmpty) {
             // Nothing to merge (e.g. all events invalid) — still commit the

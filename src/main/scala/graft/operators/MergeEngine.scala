@@ -188,6 +188,81 @@ object MergeEngine {
         col("last.part").as("src_partition"))): _*)
   }
 
+  /** Fold strategy 3 — "single-sort window". Same contract as
+    * [[netActions]] (identical output columns and values; pinned by the
+    * same oracle equivalence suites), different physical shape: ONE
+    * exchange on the grouping key, ONE sort of the payload-bearing batch,
+    * one Window pass, no aggregation at all.
+    *
+    * Why it can beat the aggregate fold: the struct-valued `max_by`
+    * forces SortAggregate, and Spark always plans the partial+final
+    * pair — the key-aligned agg fold therefore sorts the full payload
+    * TWICE (map-side sort before the partial, reduce-side sort before
+    * the final), while the partial aggregation collapses almost nothing
+    * at realistic (~2%) re-delivery duplication. A window over
+    * (key ORDER BY offset DESC) computes the same four winners —
+    *  - `row_number() = 1`  ⇒ the key's last event (value + lineage:
+    *    identical to `max_by(struct(after, part), offset)`; offset ties
+    *    are duplicate deliveries of identical rows, so either pick is
+    *    the same row),
+    *  - `max(struct(offset, op)) filtered to non-updates` over the full
+    *    frame ⇒ (a_off, a_op) (struct ordering compares offset first;
+    *    ties again only between identical duplicates),
+    *  - `wipe_off` is constant within a key (it joins on conv_id), so
+    *    the surviving row carries it —
+    * in one pass over rows sorted once. Trade-off vs "agg": the exchange
+    * carries raw rows (no map-side collapse), so prefer "agg" when
+    * re-delivery duplication is heavy (same rule as foldAlignment).
+    *
+    * `bucketed` behaves exactly as in [[netActions]]: the explicit
+    * bucket exchange satisfies the window's ClusteredDistribution
+    * (bucket is a prefix of the partition spec), so the fold stays a
+    * single-exchange plan whose output is pre-laid-out for the
+    * per-bucket delta write.
+    */
+  def netActionsViaWindow(events: DataFrame, wipes: DataFrame,
+                          bucketed: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val turnEvents0 = events
+      .filter(col("turn_idx").isNotNull)
+      .join(wipes, Seq("conv_id"), "left")
+      .filter(col("offset") > coalesce(col("wipe_off"), lit(Long.MinValue)))
+    val turnEvents = bucketed match {
+      case Some(n) => turnEvents0
+        .withColumn("bucket", bucketOf(col("conv_id"), n))
+        .repartition(n, col("bucket"))
+      case None => turnEvents0
+    }
+    val groupCols = bucketed.map(_ => "bucket").toSeq ++ Seq("conv_id", "turn_idx")
+
+    // both specs share partition + order, so they plan into ONE Window
+    // node over ONE sort; the unbounded-frame max is evaluated once per
+    // key group (UnboundedWindowFunctionFrame), not once per row
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("offset").desc)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val anchor = when(col("op") =!= "update",
+      struct(col("offset").as("off"), col("op").as("op")))
+
+    turnEvents
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_a", max(anchor).over(wAll))
+      .filter(col("_rn") === 1)
+      .select(
+        (bucketed.map(_ => col("bucket")).toSeq ++ Seq(
+        col("conv_id"),
+        col("turn_idx"),
+        when(col("_a").isNull && col("wipe_off").isNull, NetAction.UpdateIfExists)
+          .when(col("_a").isNull, NetAction.Del)
+          .when(col("_a.op") === "delete", NetAction.Del)
+          .otherwise(NetAction.Put)
+          .as("action"),
+        when(col("_a").isNotNull && col("_a.op") === "delete", lit(null))
+          .otherwise(col("after"))
+          .as("row"),
+        col("offset").as("src_offset"),
+        col("partition").as("src_partition"))): _*)
+  }
+
   /** Fold strategy 2 — "narrow agg + deciding-row fetch". The struct-valued
     * `max_by` in [[netActions]] forces SortAggregate (struct buffers cannot
     * hash-aggregate), which sorts the full payload-bearing batch twice.

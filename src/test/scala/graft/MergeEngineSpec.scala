@@ -167,10 +167,13 @@ object TestHelpers {
 
   /** Both merge strategies must produce the oracle state. */
   val bothStrategies: Seq[MergeSpec] = Seq(
-    MergeSpec(mergeStrategy = "mor"),
+    MergeSpec(mergeStrategy = "mor"), // default fold: window (netActionsViaWindow)
     // aggressive compaction: exercise the delta→base fold mid-replay
     MergeSpec(mergeStrategy = "mor", morCompactThreshold = 1),
-    // bucket-aligned fold: the single-exchange plan stays oracle-true
+    // bucket-aligned window fold: the single-exchange plan stays oracle-true
     MergeSpec(mergeStrategy = "mor", foldAlignment = "bucket"),
+    // aggregate fold (the heavy-duplication alternative), both alignments
+    MergeSpec(mergeStrategy = "mor", foldStrategy = "agg"),
+    MergeSpec(mergeStrategy = "mor", foldStrategy = "agg", foldAlignment = "bucket"),
     MergeSpec(mergeStrategy = "cow"))
 }

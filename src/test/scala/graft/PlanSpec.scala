@@ -52,6 +52,40 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Aggregate"), plan.take(1000))
   }
 
+  test("fold=window: one sort, a Window node, no aggregate of the payload") {
+    import TestHelpers._
+    val events = eventsDF(spark, Seq(ins(0, "c1", 0, "a"), upd(1, "c1", 0, "b"), ins(2, "c2", 0, "c")))
+    val wipes = broadcast(graft.operators.MergeEngine.seriesWipes(events))
+    val plan = planOf(graft.operators.MergeEngine.netActionsViaWindow(events, wipes))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"),
+      "the window fold exists to avoid the agg fold's partial+final payload sorts")
+    // exactly one Sort of the batch (the window's); the agg fold plans two
+    val sorts = plan.linesIterator.count(_.trim.matches("""\(\d+\) Sort(?:\s.*)?"""))
+    assert(sorts == 1, s"expected 1 Sort, got $sorts:\n${plan.take(3000)}")
+  }
+
+  test("fold=window equals fold=agg on net actions (both alignments)") {
+    import TestHelpers._
+    val evs = Seq(
+      ins(0, "c1", 0, "a"), upd(1, "c1", 0, "b"), del(2, "c1", Some(0)),
+      ins(3, "c2", 1, "x"), upd(4, "c2", 1, "y"), ins(5, "c3", 0, "z"),
+      del(6, "c3", None), ins(7, "c3", 1, "w"), upd(8, "c4", 2, "u"),
+      ups(9, "c5", 0, "v"), del(10, "c5", Some(0)), upd(11, "c5", 0, "ghost"),
+      // duplicate delivery of an identical row: either pick is the same row
+      ins(3, "c2", 1, "x"))
+    val events = eventsDF(spark, evs)
+    val wipes = broadcast(graft.operators.MergeEngine.seriesWipes(events))
+    val agg = graft.operators.MergeEngine.netActions(events, wipes)
+      .orderBy("conv_id", "turn_idx").collect().map(_.toString).toSeq
+    val win = graft.operators.MergeEngine.netActionsViaWindow(events, wipes)
+      .orderBy("conv_id", "turn_idx").collect().map(_.toString).toSeq
+    val winB = graft.operators.MergeEngine.netActionsViaWindow(events, wipes, Some(8))
+      .drop("bucket").orderBy("conv_id", "turn_idx").collect().map(_.toString).toSeq
+    assert(agg == win, s"agg:    $agg\nwindow: $win")
+    assert(agg == winB, s"agg:      $agg\nwindow/b: $winB")
+  }
+
   test("bucket-aligned fold: the payload crosses exactly ONE exchange") {
     import TestHelpers._
     val events = eventsDF(spark, Seq(ins(0, "c1", 0, "a"), upd(1, "c1", 0, "b"), ins(2, "c2", 0, "c")))
