@@ -237,15 +237,20 @@ object MergeEngine {
 
     // both specs share partition + order, so they plan into ONE Window
     // node over ONE sort; the unbounded-frame max is evaluated once per
-    // key group (UnboundedWindowFunctionFrame), not once per row
+    // key group (UnboundedWindowFunctionFrame), not once per row.
+    // The anchor struct is projected BEFORE the window calls: a complex
+    // window-function argument would be extracted into a Project between
+    // the two Window nodes, and CollapseWindow only merges ADJACENT
+    // nodes — with the plain column both functions land in one
+    // WindowExec, so each group's rows are buffered once, not twice.
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("offset").desc)
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val anchor = when(col("op") =!= "update",
-      struct(col("offset").as("off"), col("op").as("op")))
 
     turnEvents
+      .withColumn("_anc", when(col("op") =!= "update",
+        struct(col("offset").as("off"), col("op").as("op"))))
       .withColumn("_rn", row_number().over(w))
-      .withColumn("_a", max(anchor).over(wAll))
+      .withColumn("_a", max(col("_anc")).over(wAll))
       .filter(col("_rn") === 1)
       .select(
         (bucketed.map(_ => col("bucket")).toSeq ++ Seq(

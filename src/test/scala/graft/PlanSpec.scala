@@ -63,6 +63,11 @@ class PlanSpec extends SparkSuite {
     // exactly one Sort of the batch (the window's); the agg fold plans two
     val sorts = plan.linesIterator.count(_.trim.matches("""\(\d+\) Sort(?:\s.*)?"""))
     assert(sorts == 1, s"expected 1 Sort, got $sorts:\n${plan.take(3000)}")
+    // row_number and the anchor max share ONE WindowExec (CollapseWindow
+    // fires because the anchor struct is pre-projected, keeping the two
+    // Window nodes adjacent) — each group's rows are buffered once
+    val windows = plan.linesIterator.count(_.trim.matches("""\(\d+\) Window(?:\s.*)?"""))
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n${plan.take(3000)}")
   }
 
   test("fold=window equals fold=agg on net actions (both alignments)") {
