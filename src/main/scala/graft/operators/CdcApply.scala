@@ -371,8 +371,11 @@ object CdcApply {
               // turn-null rules never apply to deletes, and deletes are
               // admitted on this path — nWipes > 0 implies deleteEnabled),
               // so filtering events0 directly keeps the wipe scan off the
-              // payload struct (seriesWipes(valid) read it via _error)
-              MergeEngine.seriesWipes(events0.filter(col("conv_id").isNotNull))
+              // payload struct (seriesWipes(valid) read it via _error).
+              // parts=8: see seriesWipes — the persisted frame otherwise
+              // pins a shuffle.partitions-wide layout whose near-empty
+              // cached partitions cost scheduling wall in every consumer.
+              MergeEngine.seriesWipes(events0.filter(col("conv_id").isNotNull), parts = Some(8))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             // the broadcast hint goes ONLY to the join consumers (the fold);
